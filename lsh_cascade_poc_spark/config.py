@@ -1,0 +1,94 @@
+"""Pipeline configuration.
+
+The reference hard-codes its knobs per entry point (chunk counts 4/8/16 at
+/root/reference/run_experiment.py:92-116, cascade stage limits S1=10000 S2=2000
+at /root/reference/src/pipeline.py:68-119). We centralize them in one frozen
+dataclass whose hash keys the checkpoint directory, so a re-run with identical
+config resumes and a changed config recomputes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+# Mersenne prime 2^61 - 1: modulus for the universal-hash MinHash permutations
+# (a*x + b) mod p. Fits products of 61-bit values in uint64 math via splitting.
+MERSENNE_P = (1 << 61) - 1
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All knobs of the dedup cascade. Deterministic: every random element
+    (permutation params, hyperplanes) derives from ``seed`` only, so cluster
+    assignments are reproducible across partitionings and parallelism levels
+    (SURVEY.md §7.3 determinism requirement)."""
+
+    # --- document assembly (BASELINE.json input_hint) ---
+    min_doc_chars: int = 10          # reference drops <10 chars (src/loader.py:118-119)
+    max_doc_chars: int = 0           # 0 = no truncation of the assembled doc;
+                                     # per-turn truncation below
+    max_turn_chars: int = 2048       # reference truncates passages at 2048 (src/loader.py:114-116)
+
+    # --- shingling ---
+    shingle_k: int = 5               # tokens per shingle (word k-grams)
+
+    # --- MinHash signature ---
+    n_perm: int = 128                # signature length (reference uses 128-bit codes,
+                                     # src/db.py:64; we use 128 64-bit minhash lanes)
+    minhash_seed: int = 42
+
+    # --- cascade band tiers (coarse first, tight for survivors) ---
+    # tier 0 = coarse: few rows/band => high recall, crude (the reference's
+    # Overlap(8,4) wide segments, CASCADE_SEARCH_DESIGN.md:17-38)
+    coarse_rows_per_band: int = 4
+    coarse_n_bands: int = 16         # uses first 64 lanes
+    # tier 1 = tight: more rows/band + min-match counting (DF-LSH band filter
+    # with min_matches, src/dflsh.py:187-197)
+    # r=6, b=21 => P(candidate) at jaccard 0.8 is 1-(1-0.8^6)^21 ≈ 0.998
+    # (keeps the >=0.99 recall target reachable at the decision threshold),
+    # while jaccard 0.5 pairs survive with prob ≈ 0.28 — the verify stage
+    # finishes the tightening.
+    tight_rows_per_band: int = 6
+    tight_n_bands: int = 21          # uses lanes [0, 126)
+    tight_min_match: int = 1
+
+    # --- skew control ---
+    # Drop (and record) band buckets with more than this many docs: a single
+    # hot key is quadratic in pair generation; AQE splits partitions but cannot
+    # fix one quadratic key (SURVEY.md §4 item 2).
+    hot_band_cap: int = 1000
+
+    # --- SimHash bit-sampling pass ---
+    simhash_bits: int = 64
+    simhash_band_bits: int = 16      # 4 bands of 16 bits (chunk_hash analog, src/lsh.py:266-304)
+    simhash_hamming_tau: int = 6     # Hamming rerank threshold (pipeline.py:135-168 analog)
+
+    # --- winnowing / suffix stage (exact long-overlap detection) ---
+    winnow_kgram_chars: int = 24     # character k-gram size
+    winnow_window: int = 32          # winnowing window (guarantee: matches of
+                                     # length >= window + k - 1 chars are caught)
+    min_overlap_chars: int = 200     # report pairs sharing an exact substring >= this
+    # overlap pairs are *evidence* by default (reported in dup_pairs with
+    # jaccard = -1) but do NOT merge clusters: shared boilerplate turns would
+    # otherwise chain unrelated conversations into one giant component
+    cluster_on_overlap: bool = False
+
+    # --- verification + clustering ---
+    jaccard_threshold: float = 0.80
+    cc_max_iterations: int = 20
+
+    # --- execution ---
+    seed: int = 42
+    shuffle_partitions: int = 32
+    pair_repartition: int = 0        # 0 = leave to AQE; else explicit repartition
+                                     # on band keys before the self-join
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,85 @@
+"""LSH banding: signatures -> exploded (tier, band_id, band_key, doc_id) rows.
+
+Reference analog: chunk_hash splits the 128-bit fingerprint into k prefixed
+tokens (/root/reference/src/lsh.py:266-304) stored as an array column and
+matched with `list_has_any` (src/db.py:148-169); the designed segment index
+explodes them into a side table (CASCADE_SEARCH_DESIGN.md:57-66). At Spark
+scale the *only* sane layout is the exploded form: the band table is the join
+input, repartitioned on the band key, and the "c{i}_ prefix" trick becomes the
+band_id column participating in the join key.
+
+Band keys are computed JVM-side: xxhash64(tier, band_id, slice(signature)) —
+Spark's xxhash64 hashes array elements recursively, so no Python is involved
+after the signature UDF.
+
+Hot-band capping: a band key shared by m docs yields m(m-1)/2 pairs; one
+boilerplate bucket with 10^6 docs is 5*10^11 pairs. AQE splits skewed
+partitions but cannot fix a single quadratic key (SURVEY.md §4 item 2), so
+buckets above `hot_band_cap` are dropped and *recorded* (count + sample) in
+the stage metrics; recall for such boilerplate is recovered by the exact
+fingerprint (md5) pass which groups identical docs without pair explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def band_keys_column(sig_col: str, tier: int, n_bands: int, rows_per_band: int,
+                     lane_offset: int = 0) -> F.Column:
+    """array<long> of n_bands keys; band b = xxhash64(tier, b, lanes[b*r : b*r+r]).
+    `lane_offset` lets tiers use disjoint signature regions."""
+    keys = [
+        F.xxhash64(
+            F.lit(tier),
+            F.lit(b),
+            F.slice(F.col(sig_col), lane_offset + b * rows_per_band + 1, rows_per_band),
+        )
+        for b in range(n_bands)
+    ]
+    return F.array(*keys)
+
+
+def explode_bands(
+    signatures: DataFrame,
+    sig_col: str,
+    tier: int,
+    n_bands: int,
+    rows_per_band: int,
+    id_col: str = "doc_id",
+    lane_offset: int = 0,
+) -> DataFrame:
+    """-> (doc_id, tier, band_id, band_key). posexplode keeps the band index,
+    mirroring the segment_id column of the reference's segment index."""
+    return (
+        signatures.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                band_keys_column(sig_col, tier, n_bands, rows_per_band, lane_offset)
+            ).alias("band_id", "band_key"),
+        )
+        .withColumn("tier", F.lit(tier))
+    )
+
+
+def cap_hot_bands(
+    bands: DataFrame, cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Split the band table into (kept, dropped_bucket_stats).
+
+    dropped_bucket_stats(tier, band_id, band_key, n_docs) — written to the
+    metrics table so the drop is observable, not silent. The frequency
+    pre-pass is one partial-aggregated groupBy (map-side combine), cheap
+    relative to the self-join it protects.
+    """
+    counts = bands.groupBy("tier", "band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    hot = counts.filter(F.col("n_docs") > cap)
+    kept = bands.join(
+        hot.select("tier", "band_id", "band_key"),
+        ["tier", "band_id", "band_key"],
+        "left_anti",
+    )
+    return kept, hot

@@ -1,0 +1,133 @@
+"""Connected components over the dup-pair graph: cluster assignment.
+
+No reference analog (the reference is top-k search, not clustering) — this is
+the north-rule extension (SURVEY.md §2.6). Algorithm: alternating large-star /
+small-star hash joins (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14), which converges in O(log^2 n) rounds and is the standard
+shuffle-based CC for Spark.
+
+  large-star: for each node u, connect every neighbor v > u to min(N(u) ∪ u)
+  small-star: for each node u, connect every neighbor v <= u to min(N(u) ∪ u)
+
+Each round is a groupBy(min) + join; lineage is cut every round with
+localCheckpoint (a real cluster run writes the frontier to the checkpoint
+store instead — see checkpoint.py). Convergence = edge set stable (count of
+changed edges == 0). Hot roots (a giant cluster's representative) are exactly
+the skew AQE's skew-join splitting handles; the groupBy side uses partial
+aggregation so a hot node aggregates map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (src > dst) ordered pairs, no self-loops."""
+    return (
+        edges.select(
+            F.greatest("id_a", "id_b").alias("src"),
+            F.least("id_a", "id_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect strictly-larger neighbors to the component-wise minimum."""
+    # symmetric neighbor list
+    nbrs = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("m"))
+    mins = mins.withColumn("m", F.least("m", F.col("src")))
+    return (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect smaller-or-equal neighbors to the minimum."""
+    directed = edges.select("src", "dst")  # src > dst by canonical form
+    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    moved = (
+        directed.join(mins, "src")
+        .select(
+            F.when(F.col("dst") != F.col("m"), F.col("dst")).otherwise(F.col("src")).alias("src"),
+            F.col("m").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return moved
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_each_round: bool = True,
+) -> DataFrame:
+    """pairs(id_a, id_b) -> clusters(doc_id, cluster_id) where cluster_id is
+    the minimum doc_id of the component. Singleton nodes (no edges) are not
+    emitted — callers union them back with cluster_id = doc_id."""
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        """(edge count, order-independent checksum) — one cheap job per round
+        instead of two exceptAll scans; a checksum collision would only cost
+        one early-stopped iteration with astronomically small probability,
+        and the fixpoint of star operations is stable (re-entering the loop
+        cannot corrupt a converged edge set)."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("chk"),
+        ).collect()[0]
+        return int(row.n), int(row.chk)
+
+    edges = _canonical(pairs)
+    if checkpoint_each_round:
+        edges = edges.localCheckpoint(eager=True)
+    sig = _signature(edges)
+
+    for _ in range(max_iterations):
+        after_large = _canonical(
+            _large_star(edges).select(
+                F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+            )
+        )
+        after_small = _canonical(
+            _small_star(after_large).select(
+                F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+            )
+        )
+        if checkpoint_each_round:
+            after_small = after_small.localCheckpoint(eager=True)
+        new_sig = _signature(after_small)
+        edges = after_small
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # at fixpoint every edge is (node -> component min)
+    members = edges.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    )
+    roots = edges.select(F.col("dst").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return members.unionByName(roots).distinct()
+
+
+def clusters_with_singletons(clusters: DataFrame, all_docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Union non-duplicated docs back as their own clusters."""
+    singles = (
+        all_docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return clusters.unionByName(singles)

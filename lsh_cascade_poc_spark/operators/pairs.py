@@ -1,0 +1,90 @@
+"""Candidate-pair generation: the cascade's Stage 1, as band self-joins.
+
+Reference analog: the per-query coarse filter `WHERE list_has_any(lsh_chunks,
+query_chunks)` (/root/reference/src/db.py:148-169) asks "which docs share a
+band with THIS query". The all-pairs formulation asks it for every doc at
+once: self-join the exploded band table on (tier, band_id, band_key) with
+id_a < id_b. The reference's min-match counting knob (DF-LSH band_filter,
+/root/reference/src/dflsh.py:187-197,373-383) becomes groupBy(pair).count >= m.
+
+Cascade semantics (mirrors the 3-stage search, src/pipeline.py:68-119):
+  tier 0 (coarse bands, few rows/band, high recall) generates pairs over the
+  whole corpus; tier 1 (tight bands) is computed ONLY for docs that survived
+  tier 0 (left-semi join), and its min-match count prunes the candidate set
+  before the expensive exact-Jaccard verify. Deduplicating pairs across bands
+  *before* verification is the one barrier worth paying (the reference dedups
+  its candidate set the same way, src/e2lsh.py:292-307).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pairs_from_bands(bands: DataFrame, repartition: int = 0) -> DataFrame:
+    """(doc_id, tier, band_id, band_key) -> distinct (id_a, id_b) with
+    id_a < id_b. The self-join shuffles both sides on the band key — this is
+    the pipeline's dominant shuffle; `repartition` pins the partition count
+    when AQE's estimate is off at very large scale."""
+    b = bands
+    if repartition:
+        b = b.repartition(repartition, "band_key")
+    left = b.select(
+        F.col("tier"), F.col("band_id"), F.col("band_key"),
+        F.col("doc_id").alias("id_a"),
+    )
+    right = b.select(
+        F.col("tier"), F.col("band_id"), F.col("band_key"),
+        F.col("doc_id").alias("id_b"),
+    )
+    return (
+        left.join(right, ["tier", "band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def pairs_with_min_match(bands: DataFrame, min_match: int) -> DataFrame:
+    """Min-match band counting (src/dflsh.py:187-197): keep a pair only if it
+    collides in >= min_match bands. min_match <= 1 degenerates to the plain
+    OR-semantics band join (no counting aggregate needed)."""
+    if min_match <= 1:
+        return pairs_from_bands(bands).withColumn("n_bands", F.lit(None).cast("long"))
+    left = bands.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_a"))
+    right = bands.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_b"))
+    matched = (
+        left.join(right, ["tier", "band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return matched.filter(F.col("n_bands") >= min_match).select("id_a", "id_b", "n_bands")
+
+
+def survivors(pairs: DataFrame) -> DataFrame:
+    """Distinct doc ids appearing in any candidate pair — the semi-join
+    input that gates the next (tighter) cascade tier, mirroring how the
+    reference's Stage 2 only touches Stage-1 survivors (src/pipeline.py:91-97)."""
+    return (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+
+
+def exact_duplicate_pairs(docs_with_fp: DataFrame, fp_col: str = "fingerprint",
+                          id_col: str = "doc_id", group_cap: int = 10_000) -> DataFrame:
+    """Exact-duplicate pairs via fingerprint grouping — pairs each doc in a
+    fingerprint group with the group's minimum id instead of all-pairs
+    (star topology), so a boilerplate group of m docs costs m-1 edges, not
+    m^2/2. Connected components recovers the full cluster. `group_cap`
+    guards against pathological single-fingerprint floods."""
+    star = (
+        docs_with_fp.select(F.col(fp_col).alias("fp"), F.col(id_col).alias("doc_id"))
+        .withColumn("root", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return star

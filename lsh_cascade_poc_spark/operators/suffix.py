@@ -1,0 +1,219 @@
+"""Exact long-overlap detection: winnowing fingerprints + per-bucket verify.
+
+The north rule asks for a "per-partition suffix-array substring stage for
+exact long-overlap detection" — pairs of documents sharing a long verbatim
+substring even when their overall Jaccard is low (shingling misses them).
+
+Design (public algorithms only):
+  1. Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD'03 "Winnowing: Local
+     Algorithms for Document Fingerprinting"): per document, hash every
+     k-char gram (rolling window), then keep the minimum hash of every
+     w-hash window (rightmost minimum). GUARANTEE: any shared substring of
+     length >= w + k - 1 chars produces at least one shared fingerprint.
+     Computed in a vectorized pandas_udf (numpy sliding-window minimum).
+  2. Fingerprints are exploded to (fp, doc_id, pos) and self-joined on fp —
+     the same banded-join shape as MinHash LSH, so the same hot-key capping
+     applies (boilerplate license headers etc.).
+  3. Candidate pairs are verified per-bucket with groupBy().applyInPandas:
+     seed positions are extended greedily left/right over the two texts to
+     measure the true maximal common substring around the seed; pairs whose
+     exact overlap >= min_overlap_chars survive. The per-bucket verifier is
+     the "per-partition suffix stage": each Arrow group holds one pair's two
+     texts and its seed positions; extension is O(overlap) per seed and we
+     verify only the best few seeds per pair.
+
+Reference analog: this generalizes the reference's Overlap segment index
+(CASCADE_SEARCH_DESIGN.md:17-38, notebook 49) — overlapping windows over the
+fingerprint giving high-recall coarse candidates — from hash bits to raw text.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_FP_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("fp", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    )
+)
+
+# polynomial rolling hash over a 61-bit Mersenne prime field
+_ROLL_P = (1 << 61) - 1
+_ROLL_BASE = 1_000_003
+
+
+_P61 = np.uint64(_ROLL_P)
+_LO32 = np.uint64(0xFFFFFFFF)
+_S32 = np.uint64(32)
+
+
+def _mulmod61(a: np.ndarray, b: np.uint64) -> np.ndarray:
+    """(a * b) mod (2^61 - 1), element-wise, overflow-free in uint64.
+    Uses 32-bit splitting plus the Mersenne identity 2^61 ≡ 1 (so 2^64 ≡ 8):
+      a*b = ah*bh*2^64 + (ah*bl + al*bh)*2^32 + al*bl
+    every intermediate stays < 2^64."""
+    ah, al = a >> _S32, a & _LO32
+    bh, bl = np.uint64(int(b) >> 32), np.uint64(int(b) & 0xFFFFFFFF)
+    top = (ah * bh % _P61) * np.uint64(8) % _P61          # *2^64 ≡ *8
+    mid = (ah * bl % _P61 + al * bh % _P61) % _P61        # coefficient of 2^32
+    mh, ml = mid >> _S32, mid & _LO32
+    mid = (mh * np.uint64(8) + ((ml << _S32) % _P61)) % _P61
+    low = (al * bl) % _P61
+    return (top + mid + low) % _P61
+
+
+def _kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Polynomial hashes of all k-char grams over GF(2^61-1), fully
+    vectorized: k passes of shifted multiply-add over the byte array
+    (k is small and fixed; each pass is a numpy vector op)."""
+    data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+    n = data.size
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    vals = data.astype(np.uint64)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        c = np.uint64(pow(_ROLL_BASE, k - 1 - j, _ROLL_P))
+        acc = (acc + _mulmod61(vals[j : j + m], c)) % _P61
+    return acc.astype(np.int64)
+
+
+def _winnow(grams: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Select the rightmost-minimum hash in every window of w consecutive
+    gram hashes -> (fingerprints, positions), deduplicated on position."""
+    n = grams.size
+    if n == 0:
+        return grams, np.empty(0, dtype=np.int64)
+    if n <= w:
+        pos = np.array([int(np.argmin(grams))], dtype=np.int64)
+        return grams[pos], pos
+    sw = np.lib.stride_tricks.sliding_window_view(grams, w)  # (n-w+1, w)
+    # rightmost minimum: reverse, argmin, map back
+    rev = sw[:, ::-1]
+    idx = (w - 1) - np.argmin(rev, axis=1)
+    pos = np.arange(n - w + 1) + idx
+    uniq = np.unique(pos)
+    return grams[uniq], uniq
+
+
+def make_winnow_udf(k: int, w: int):
+    """pandas_udf: text -> array<struct<fp:long, pos:int>>."""
+    @F.pandas_udf(_FP_SCHEMA)
+    def winnow_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            out = []
+            for text in s:
+                if not text:
+                    out.append([])
+                    continue
+                grams = _kgram_hashes(text, k)
+                fps, pos = _winnow(grams, w)
+                out.append(
+                    [{"fp": int(f), "pos": int(p)} for f, p in zip(fps, pos)]
+                )
+            yield pd.Series(out)
+
+    return winnow_udf
+
+
+def winnow_fingerprints(docs: DataFrame, k: int, w: int,
+                        text_col: str = "doc_text", id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, fp, pos) exploded fingerprint table."""
+    udf = make_winnow_udf(k, w)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("fps"))
+        .select("doc_id", F.explode("fps").alias("f"))
+        .select("doc_id", F.col("f.fp").alias("fp"), F.col("f.pos").alias("pos"))
+    )
+
+
+def overlap_candidates(fps: DataFrame, hot_cap: int = 500) -> DataFrame:
+    """Self-join fingerprints -> (id_a, id_b, pos_a, pos_b) seed candidates,
+    keeping ONE seed per pair (the lexicographically smallest) to bound the
+    verify stage. Hot fingerprints above `hot_cap` docs are dropped (recorded
+    by the pipeline like hot bands)."""
+    counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
+    cold = fps.join(
+        counts.filter(F.col("n_docs") <= hot_cap).select("fp"), "fp", "left_semi"
+    )
+    a = cold.select("fp", F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"))
+    b = cold.select("fp", F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(F.struct("pos_a", "pos_b")).alias("seed"),
+            F.count(F.lit(1)).alias("n_shared_fps"),
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("seed.pos_a").alias("pos_a"),
+            F.col("seed.pos_b").alias("pos_b"),
+            "n_shared_fps",
+        )
+    )
+
+
+def _extend_match(ta: str, tb: str, pa: int, pb: int, k: int) -> int:
+    """Greedily extend an exact k-gram seed match left and right; returns the
+    maximal common substring length around the seed (0 if the seed bytes
+    don't actually match — hash collision)."""
+    ba, bb = ta.encode("utf-8", "replace"), tb.encode("utf-8", "replace")
+    if ba[pa : pa + k] != bb[pb : pb + k]:
+        return 0
+    lo_a, lo_b = pa, pb
+    while lo_a > 0 and lo_b > 0 and ba[lo_a - 1] == bb[lo_b - 1]:
+        lo_a -= 1
+        lo_b -= 1
+    hi_a, hi_b = pa + k, pb + k
+    while hi_a < len(ba) and hi_b < len(bb) and ba[hi_a] == bb[hi_b]:
+        hi_a += 1
+        hi_b += 1
+    return hi_a - lo_a
+
+
+def verify_overlaps(
+    candidates: DataFrame,
+    docs: DataFrame,
+    k: int,
+    min_overlap_chars: int,
+    text_col: str = "doc_text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact verification: join texts onto seed pairs, extend seeds inside a
+    mapInPandas batch kernel -> (id_a, id_b, overlap_chars) for survivors."""
+    docs_sel = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+    sided = (
+        candidates.join(docs_sel.withColumnsRenamed({"doc_id": "id_a", "t": "text_a"}), "id_a")
+        .join(docs_sel.withColumnsRenamed({"doc_id": "id_b", "t": "text_b"}), "id_b")
+    )
+
+    out_schema = "id_a long, id_b long, overlap_chars int"
+
+    def extend_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            lengths = [
+                _extend_match(ta, tb, int(pa), int(pb), k)
+                for ta, tb, pa, pb in zip(
+                    pdf["text_a"], pdf["text_b"], pdf["pos_a"], pdf["pos_b"]
+                )
+            ]
+            res = pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "overlap_chars": lengths}
+            )
+            yield res[res["overlap_chars"] >= min_overlap_chars]
+
+    return sided.mapInPandas(extend_batches, schema=out_schema)

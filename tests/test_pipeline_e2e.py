@@ -1,0 +1,127 @@
+"""End-to-end dedup pipeline vs the independent numpy reference.
+
+This is the BASELINE.json acceptance suite:
+  - per-turn text equality under stable turn ordering (vs ref_assemble)
+  - MinHash signature parity lane-for-lane (same shingle/signature config)
+  - dup-pair recall >= 0.99 vs the reference's pair set
+  - cluster assignment equivalence (same partition of conv_ids)
+  - planted ground truth recovered (exact/whitespace/edit/substring families)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_cascade_poc_spark.config import DedupConfig
+from lsh_cascade_poc_spark.pipeline import run_dedup
+from lsh_cascade_poc_spark.reference_impl import ref_jaccard, run_reference
+
+CFG = DedupConfig(
+    n_perm=64,
+    coarse_n_bands=8, coarse_rows_per_band=4,
+    tight_n_bands=10, tight_rows_per_band=6,
+    cc_max_iterations=10,
+)
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, tiny_turns):
+    res = run_dedup(spark, tiny_turns, cfg=CFG, enable_overlap_stage=True)
+    res.docs.persist().count()
+    res.dup_pairs.persist().count()
+    return res
+
+
+@pytest.fixture(scope="module")
+def ref_result(tiny_corpus):
+    t = tiny_corpus.turns
+    return run_reference(
+        list(zip(t.conv_id, t.turn_idx, t.role, t.text)), cfg=CFG
+    )
+
+
+def _pairs_by_conv(spark_result) -> set[tuple[str, str]]:
+    id_map = {r.doc_id: r.conv_id for r in spark_result.docs.select("doc_id", "conv_id").collect()}
+    out = set()
+    for r in spark_result.dup_pairs.select("id_a", "id_b").collect():
+        a, b = sorted([id_map[r.id_a], id_map[r.id_b]])
+        out.add((a, b))
+    return out
+
+
+def test_docs_match_reference(spark_result, ref_result):
+    got = {r.conv_id: r.doc_text for r in spark_result.docs.collect()}
+    assert got == ref_result.docs
+
+
+def test_signatures_match_reference(spark_result, ref_result):
+    rows = spark_result.signatures.select("conv_id", "minhash").collect()
+    for r in rows:
+        want = ref_result.signatures[r.conv_id]
+        assert np.array_equal(np.array(r.minhash, dtype=np.int64), want), r.conv_id
+
+
+def test_dup_pair_recall_vs_reference(spark_result, ref_result):
+    got = _pairs_by_conv(spark_result)
+    want = ref_result.dup_pairs
+    assert want, "reference found no duplicate pairs — corpus misconfigured"
+    hits = len(got & want)
+    recall = hits / len(want)
+    assert recall >= 0.99, f"recall {recall}: missing {sorted(want - got)[:5]}"
+
+
+def test_cluster_assignment_matches_reference(spark_result, ref_result):
+    id_map = {r.doc_id: r.conv_id for r in spark_result.docs.select("doc_id", "conv_id").collect()}
+    got_assign = {
+        id_map[r.doc_id]: r.cluster_id
+        for r in spark_result.clusters.collect()
+    }
+    # compare as partitions (cluster ids differ between impls); overlap
+    # pairs are evidence-only by default so partitions must match EXACTLY
+    def partition(assign: dict) -> set[frozenset]:
+        groups: dict = {}
+        for k, v in assign.items():
+            groups.setdefault(v, set()).add(k)
+        return {frozenset(g) for g in groups.values()}
+
+    assert partition(got_assign) == partition(ref_result.clusters)
+
+
+def test_planted_duplicates_recovered(spark_result, ref_result, tiny_corpus):
+    got = _pairs_by_conv(spark_result)
+    gt = tiny_corpus.gt_pairs
+    missed = []
+    for _, row in gt.iterrows():
+        pair = (row.conv_a, row.conv_b)
+        if row.kind in ("exact", "whitespace"):
+            assert pair in got, f"{row.kind} pair missed: {pair}"
+        elif row.kind == "edit":
+            ja = ref_jaccard(
+                ref_result.shingles[row.conv_a], ref_result.shingles[row.conv_b]
+            )
+            if ja >= CFG.jaccard_threshold and pair not in got:
+                missed.append((pair, ja))
+        elif row.kind == "substring":
+            # substring variants are caught by the overlap stage whenever the
+            # preserved turn is long enough for the winnowing floor
+            doc_a = ref_result.docs[row.conv_a].split("\n")
+            doc_b = ref_result.docs[row.conv_b].split("\n")
+            longest_shared = max(
+                (len(t) for t in doc_a if t in set(doc_b)), default=0
+            )
+            if longest_shared >= CFG.min_overlap_chars:
+                assert pair in got, f"substring pair missed: {pair}"
+    assert not missed, f"edit pairs above threshold missed: {missed}"
+
+
+def test_no_verified_false_positives(spark_result, ref_result):
+    """Every spark dup pair with jaccard >= threshold must be a true
+    >=threshold pair per independent jaccard computation."""
+    id_map = {r.doc_id: r.conv_id for r in spark_result.docs.select("doc_id", "conv_id").collect()}
+    for r in spark_result.dup_pairs.filter(F.col("jaccard") >= 0).collect():
+        a, b = id_map[r.id_a], id_map[r.id_b]
+        true_j = ref_jaccard(ref_result.shingles[a], ref_result.shingles[b])
+        assert abs(true_j - r.jaccard) < 1e-9
+        assert true_j >= CFG.jaccard_threshold or r.jaccard == 1.0

@@ -1,0 +1,85 @@
+"""Winnowing fingerprints + exact overlap extension (the substring stage)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lsh_cascade_poc_spark.operators.suffix import (
+    _extend_match,
+    _kgram_hashes,
+    _winnow,
+    overlap_candidates,
+    verify_overlaps,
+    winnow_fingerprints,
+)
+
+_ROLL_P = (1 << 61) - 1
+_ROLL_BASE = 1_000_003
+
+
+def _naive_kgram_hashes(text: str, k: int) -> list[int]:
+    data = text.encode("utf-8", "replace")
+    out = []
+    for i in range(len(data) - k + 1):
+        h = 0
+        for ch in data[i : i + k]:
+            h = (h * _ROLL_BASE + ch) % _ROLL_P
+        out.append(h)
+    return out
+
+
+def test_kgram_hashes_match_naive():
+    text = "the quick brown fox jumps over the lazy dog repeatedly and often"
+    got = _kgram_hashes(text, 8).tolist()
+    want = _naive_kgram_hashes(text, 8)
+    assert got == want
+
+
+def test_kgram_shared_substring_shares_hashes():
+    a = "PREFIX common-stretch-of-text-here SUFFIXA"
+    b = "other common-stretch-of-text-here SUFFIXB"
+    ha = set(_kgram_hashes(a, 10).tolist())
+    hb = set(_kgram_hashes(b, 10).tolist())
+    assert ha & hb
+
+
+def test_winnow_guarantee():
+    # any shared substring of length >= w + k - 1 chars yields a shared
+    # fingerprint (Schleimer et al. 2003 correctness property)
+    k, w = 8, 6
+    shared = "0123456789abcdefghijklmnopqrstuv"  # len 32 >= w+k-1 = 13
+    a = "XXXX" + shared + "YYYYYYYYYY"
+    b = "ZZZZZZZZZZZ" + shared + "WWW"
+    fa, _ = _winnow(_kgram_hashes(a, k), w)
+    fb, _ = _winnow(_kgram_hashes(b, k), w)
+    assert set(fa.tolist()) & set(fb.tolist())
+
+
+def test_extend_match():
+    a = "aaa MIDDLE-SHARED-PART zzz"
+    b = "bb MIDDLE-SHARED-PART qqqq"
+    pa, pb = a.index("MIDDLE"), b.index("MIDDLE")
+    got = _extend_match(a, b, pa + 3, pb + 3, 5)
+    assert got == len(" MIDDLE-SHARED-PART ")
+    # hash-collision guard: mismatched seed bytes -> 0
+    assert _extend_match("abcdef", "zzzzzz", 0, 0, 3) == 0
+
+
+def test_overlap_stage_end_to_end(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta " * 4  # ~190 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text one " + shared + " tail one"),
+            (2, "different preamble " + shared + " other ending"),
+            (3, "completely unrelated content with nothing in common at all here"),
+        ],
+        "doc_id long, doc_text string",
+    )
+    fps = winnow_fingerprints(docs, k=24, w=32)
+    cands = overlap_candidates(fps)
+    found = verify_overlaps(cands, docs, k=24, min_overlap_chars=96).collect()
+    pairs = {(r.id_a, r.id_b) for r in found}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    row = [r for r in found if (r.id_a, r.id_b) == (1, 2)][0]
+    assert row.overlap_chars >= len(shared)

@@ -1,0 +1,98 @@
+"""Text normalization + conversation assembly invariants.
+
+The assembly invariant is the driver's per-row check (BASELINE.json):
+per-turn text equality under stable turn ordering — the assembled document
+must be identical whatever the input partitioning/row order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lsh_cascade_poc_spark.functions.text import (
+    fingerprint_md5,
+    is_valid_text,
+    langid,
+    normalize_text,
+    quality_features,
+    token_count,
+)
+from lsh_cascade_poc_spark.operators.assemble import assemble_conversations
+from lsh_cascade_poc_spark.reference_impl import ref_assemble, ref_normalize
+
+
+def test_normalize_matches_reference_semantics(spark):
+    # mirrors /root/reference/tests/test_loader.py:18-56 (whitespace collapse,
+    # truncation, short-drop)
+    cases = [
+        "  hello   world  ",
+        "a\t\tb\nc",
+        "x" * 3000,
+        "short",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["text"])
+    rows = df.select(normalize_text(F.col("text"), 2048).alias("n")).collect()
+    for c, r in zip(cases, rows):
+        assert r.n == ref_normalize(c, 2048)
+
+
+def test_is_valid_text_floor(spark):
+    df = spark.createDataFrame([("123456789",), ("1234567890",)], ["t"])
+    got = [r[0] for r in df.select(is_valid_text(F.col("t"), 10)).collect()]
+    assert got == [False, True]
+
+
+def test_assembly_stable_under_shuffled_input(spark, tiny_corpus):
+    turns_pdf = tiny_corpus.turns
+    shuffled = turns_pdf.sample(frac=1.0, random_state=99).reset_index(drop=True)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    d1 = assemble_conversations(spark.createDataFrame(turns_pdf, schema))
+    d2 = assemble_conversations(
+        spark.createDataFrame(shuffled, schema).repartition(7, "role")
+    )
+    p1 = {r.conv_id: r.doc_text for r in d1.collect()}
+    p2 = {r.conv_id: r.doc_text for r in d2.collect()}
+    assert p1 == p2
+
+
+def test_assembly_matches_reference_per_turn(spark, tiny_corpus):
+    """Per-turn text equality under stable turn ordering vs the independent
+    numpy reference assembly."""
+    turns_pdf = tiny_corpus.turns
+    want = ref_assemble(
+        list(zip(turns_pdf.conv_id, turns_pdf.turn_idx, turns_pdf.role, turns_pdf.text))
+    )
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    got_df = assemble_conversations(spark.createDataFrame(turns_pdf, schema))
+    got = {r.conv_id: r.doc_text for r in got_df.collect()}
+    assert got == want
+    # every turn's normalized text appears intact at the right position
+    sample = sorted(want)[0]
+    for line_got, line_want in zip(got[sample].split("\n"), want[sample].split("\n")):
+        assert line_got == line_want
+
+
+def test_quality_and_langid_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in the house, yes!",),
+            ("el gato es una casa por la manana como siempre",),
+            ("zz qq xx",),
+        ],
+        ["text"],
+    )
+    q = quality_features(F.col("text"))
+    rows = df.select(
+        token_count(F.col("text")).alias("ntok"),
+        q["stopword_ratio"].alias("stop"),
+        q["punct_ratio"].alias("punct"),
+        langid(F.col("text")).alias("lang"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    ).collect()
+    assert rows[0].ntok == 10
+    assert rows[0].stop > 0.3
+    assert rows[0].punct > 0
+    assert rows[0].lang == "en"
+    assert rows[1].lang == "es"
+    assert rows[2].lang == "und"
+    assert len(rows[0].fp) == 32

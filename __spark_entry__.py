@@ -395,6 +395,43 @@ def q_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.select("doc_id", "cluster_id")
 
 
+def q_pivot_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/A7: pivot-distance triangle-inequality prefilter. Pivots = vec_id
+    0..7 signbit hashes, query = vec_id 42; keep docs with
+    max_i |d(doc,p_i) - d(q,p_i)| <= 8 (notebook 52 pivot filter)."""
+    sig = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_SIGNBIT).alias("h")
+    )
+    piv = sig.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("pid"), F.col("h").alias("ph")
+    )
+    q = sig.filter(F.col("vec_id") == 42).select(F.col("h").alias("qh"))
+    qd = piv.crossJoin(q).select(
+        "pid", F.bit_count(F.col("ph").bitwiseXOR(F.col("qh"))).alias("qd")
+    )
+    dd = sig.crossJoin(F.broadcast(piv)).select(
+        "vec_id", "pid", F.bit_count(F.col("h").bitwiseXOR(F.col("ph"))).alias("dd")
+    )
+    return (
+        dd.join(F.broadcast(qd), "pid")
+        .groupBy("vec_id")
+        .agg(F.max(F.abs(F.col("dd") - F.col("qd"))).alias("max_dev"))
+        .filter(F.col("max_dev") <= 8)
+    )
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budgeting via GPT-2-style pre-tokenization regex —
+    the training-pipeline token counter; RE2/Java regex agree on the classes."""
+    pattern = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pattern), F.lit(0))).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_raw"),
+    )
+
+
 # --- rows-only (non-SQL-expressible: Arrow UDF kernels / iterative) ---------
 
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,6 +512,87 @@ def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_overlaps(cands, docs, k=24, min_overlap_chars=96)
 
 
+def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 3-stage cascade ANN (H1+H5 hyperplane SimHash -> band join ->
+    Hamming rerank -> exact cosine top-k) for queries vec_id < 5 — the
+    reference's flagship search (src/pipeline.py:68-119) set-oriented.
+    Rows-only: recall vs brute force is asserted in tests/test_embedding.py."""
+    from lsh_cascade_poc_spark.embedding.hyperplanes import generate_random_hyperplanes
+    from lsh_cascade_poc_spark.embedding.search import cascade_search
+    from lsh_cascade_poc_spark.embedding.vector_hash import (
+        explode_lane_bands,
+        make_vector_simhash_udf,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first().embedding)
+    planes = generate_random_hyperplanes(dim, 128, seed=42)
+    udf = make_vector_simhash_udf(planes)
+    docs = emb.select("vec_id", "embedding", udf("embedding").alias("lanes"))
+    docs = docs.localCheckpoint(eager=True)
+    queries_df = docs.filter(F.col("vec_id") < 5)
+    return cascade_search(
+        docs, queries_df,
+        explode_lane_bands(docs, "lanes", 128, band_bits=8),
+        explode_lane_bands(queries_df, "lanes", 128, band_bits=8),
+        stage1_limit=100, top_k=10,
+    )
+
+
+def q_itq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9/H10/H11: ITQ fit (driver, bounded sample) + transform (Arrow UDF)
+    -> packed int64 code lanes. Rows-only; numpy parity in tests."""
+    from lsh_cascade_poc_spark.embedding.itq import fit_itq_on_dataframe, make_itq_udf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    model = fit_itq_on_dataframe(emb.orderBy("vec_id"), "embedding", 64, n_iter=25)
+    return emb.select(
+        "vec_id", make_itq_udf(model)("embedding").alias("itq_lanes")
+    ).select("vec_id", F.element_at("itq_lanes", 1).alias("itq_code"))
+
+
+def q_e2lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12/F3: E2LSH bucket hashing + all-pairs bucket join. Rows-only;
+    numpy parity + collision-prob tests in tests/test_embedding.py."""
+    from lsh_cascade_poc_spark.embedding.e2lsh import (
+        e2lsh_candidate_pairs,
+        explode_e2lsh_buckets,
+        make_e2lsh_params,
+        make_e2lsh_udf,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first().embedding)
+    params = make_e2lsh_params(dim, k=4, n_tables=6, w=2.0, seed=42)
+    buckets = emb.select("vec_id", make_e2lsh_udf(params)("embedding").alias("b"))
+    return e2lsh_candidate_pairs(explode_e2lsh_buckets(buckets, "b"))
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: documents reshaped into binary media payloads ->
+    fake-decode features (codecs stubbed) -> signbit SimHash band join.
+    Rows-only; contracts tested in tests/test_multimodal.py."""
+    from lsh_cascade_poc_spark.multimodal import MEDIA_SCHEMA, media_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(12).alias("n_frames"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    return media_dedup_pairs(media, hamming_tau=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_docs": q_normalize_docs,
@@ -492,9 +610,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "token_stats": q_token_stats,
         "cluster_docs": q_cluster_docs,
+        "pivot_prefilter": q_pivot_prefilter,
+        "token_count_bpe": q_token_count_bpe,
         "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "overlap_pairs": q_overlap_pairs,
+        "ann_cascade_topk": q_ann_cascade_topk,
+        "itq_codes": q_itq_codes,
+        "e2lsh_pairs": q_e2lsh_pairs,
+        "media_dedup": q_media_dedup,
     }
 
 
@@ -714,6 +838,28 @@ def oracle_sql() -> dict[str, str]:
     """
     # recursive marker must prefix the first CTE in DuckDB
     sql["cluster_docs"] = "WITH RECURSIVE" + sql["cluster_docs"].lstrip()[4:]
+
+    sql["pivot_prefilter"] = f"""
+      WITH sig AS (SELECT vec_id, {_DUCK_SIGNBIT} AS h FROM embeddings),
+      piv AS (SELECT vec_id AS pid, h AS ph FROM sig WHERE vec_id < 8),
+      q AS (SELECT h AS qh FROM sig WHERE vec_id = 42),
+      qd AS (SELECT pid, bit_count(xor(ph, qh)) AS qd FROM piv, q),
+      dd AS (SELECT s.vec_id, p.pid, bit_count(xor(s.h, p.ph)) AS dd
+             FROM sig s, piv p)
+      SELECT dd.vec_id, max(abs(dd.dd - qd.qd)) AS max_dev
+      FROM dd JOIN qd USING (pid)
+      GROUP BY dd.vec_id
+      HAVING max(abs(dd.dd - qd.qd)) <= 8
+    """
+
+    sql["token_count_bpe"] = r"""
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+               AS n_bpe_tokens,
+             length(text) AS n_chars_raw
+      FROM documents
+    """
 
     return sql
 

@@ -1,0 +1,116 @@
+"""E2LSH: p-stable (Gaussian) LSH for Euclidean distance (H12/H13/H14, F3).
+
+Reference parity:
+  - E2LSHHasher.hash_batch_all_tables  /root/reference/src/e2lsh.py:75-147
+    (floor((a.v + b) / w) per k functions x L tables)
+  - multiprobe keys                    /root/reference/src/e2lsh.py:176-221
+  - E2LSHIndex.query                   /root/reference/src/e2lsh.py:266-319
+  - collision probability              /root/reference/src/e2lsh.py:383-405
+
+The L dict hash tables become one exploded DataFrame
+(table_id, bucket_key, vec_id) joined on (table_id, bucket_key) — the same
+shuffle-join layout as MinHash bands. Bucket tuples (k ints) are reduced to
+one int64 key by hashing lane-wise with xxhash64 JVM-side after the UDF
+emits the raw (L, k) int buckets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class E2LSHParams:
+    a: np.ndarray   # (L, k, dim) float32
+    b: np.ndarray   # (L, k) float32
+    w: float
+
+    @property
+    def n_tables(self) -> int:
+        return self.a.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.a.shape[1]
+
+
+def make_e2lsh_params(dim: int, k: int, n_tables: int, w: float, seed: int = 42) -> E2LSHParams:
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n_tables, k, dim)).astype(np.float32)
+    b = (rng.random((n_tables, k)) * w).astype(np.float32)
+    return E2LSHParams(a=a, b=b, w=float(w))
+
+
+def e2lsh_buckets_numpy(vectors: np.ndarray, params: E2LSHParams) -> np.ndarray:
+    """(n, dim) -> (n, L, k) int32 bucket ids."""
+    n = vectors.shape[0]
+    av = np.einsum("lkd,nd->nlk", params.a, vectors.astype(np.float32))
+    return np.floor((av + params.b[None, :, :]) / params.w).astype(np.int32)
+
+
+def make_e2lsh_udf(params: E2LSHParams):
+    """pandas_udf: array<float> -> array<array<int>> (L tables x k ints)."""
+    a, b, w = params.a, params.b, params.w
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.IntegerType())))
+    def e2lsh(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        p = E2LSHParams(a=a, b=b, w=w)
+        for s in it:
+            x = np.stack([np.asarray(v, dtype=np.float32) for v in s])
+            buckets = e2lsh_buckets_numpy(x, p)
+            yield pd.Series([[list(map(int, tbl)) for tbl in row] for row in buckets])
+
+    return e2lsh
+
+
+def explode_e2lsh_buckets(df: DataFrame, buckets_col: str, id_col: str = "vec_id") -> DataFrame:
+    """-> (id, table_id, bucket_key:int64) — the reference's L dict tables as
+    one exploded relation; bucket tuple hashed to a single join key JVM-side."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(buckets_col)).alias("table_id", "bucket"),
+    ).select(
+        F.col(id_col),
+        "table_id",
+        F.xxhash64("table_id", "bucket").alias("bucket_key"),
+    )
+
+
+def e2lsh_candidate_pairs(bucket_table: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """F3 all-pairs form: ids sharing any (table, bucket)."""
+    a = bucket_table.select("table_id", "bucket_key", F.col(id_col).alias("id_a"))
+    b = bucket_table.select("table_id", "bucket_key", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["table_id", "bucket_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def multiprobe_buckets_numpy(bucket: np.ndarray, n_probes: int) -> list[np.ndarray]:
+    """H13: ±1 perturbations of a (k,) bucket tuple, nearest-first (one
+    coordinate at a time), capped at n_probes (excluding the base bucket)."""
+    probes = []
+    k = bucket.shape[0]
+    for delta in (1, -1):
+        for i in range(k):
+            p = bucket.copy()
+            p[i] += delta
+            probes.append(p)
+            if len(probes) >= n_probes:
+                return probes
+    return probes
+
+
+def e2lsh_collision_prob(dist: float, w: float) -> float:
+    """H14: the analytic first-order collision probability max(0, 1 - d/w)
+    used for parameter tuning (reference's simplified form)."""
+    return max(0.0, 1.0 - dist / w) if w > 0 else 0.0

@@ -1,0 +1,157 @@
+"""ITQ-LSH: iterative-quantization binary codes (H9/H10/H11) + whitening (H15).
+
+Reference parity:
+  - ITQLSH.fit        /root/reference/src/itq_lsh.py:50-122
+    (center -> PCA via eigh of covariance -> 50-iteration Procrustes rotation)
+  - ITQLSH.transform  /root/reference/src/itq_lsh.py:130-161
+  - EmbeddingWhitener /root/reference/src/whitening.py:34-113
+  - isotropy score    /root/reference/src/whitening.py:148-176
+
+Algorithm from the public ITQ paper (Gong & Lazebnik, CVPR'11). Fit is
+driver-side numpy on a bounded sample (df.sample().toPandas(), like the
+reference's <=10k-row fits); transform is an Arrow pandas_udf with the
+(mean, pca, rotation) float32 blobs closure-captured.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class ITQModel:
+    mean: np.ndarray       # (dim,)
+    pca: np.ndarray        # (dim, n_bits)
+    rotation: np.ndarray   # (n_bits, n_bits)
+
+    @property
+    def n_bits(self) -> int:
+        return self.pca.shape[1]
+
+
+def itq_fit(x: np.ndarray, n_bits: int, n_iter: int = 50, seed: int = 42) -> ITQModel:
+    x = x.astype(np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = xc.T @ xc / max(1, xc.shape[0] - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:n_bits]
+    pca = eigvecs[:, order]                      # (dim, n_bits)
+    v = xc @ pca                                 # (n, n_bits)
+
+    rng = np.random.default_rng(seed)
+    r = np.linalg.qr(rng.standard_normal((n_bits, n_bits)))[0]
+    for _ in range(n_iter):
+        z = v @ r
+        b = np.where(z >= 0, 1.0, -1.0)
+        u, _, vt = np.linalg.svd(b.T @ v)
+        r = (u @ vt).T                           # orthogonal Procrustes update
+    return ITQModel(mean=mean.astype(np.float32),
+                    pca=pca.astype(np.float32),
+                    rotation=r.astype(np.float32))
+
+
+def itq_transform_numpy(x: np.ndarray, model: ITQModel) -> np.ndarray:
+    """(n, dim) -> (n, n_bits) uint8 codes (0/1), reference transform order:
+    center -> PCA-project -> rotate -> sign."""
+    z = (x.astype(np.float32) - model.mean) @ model.pca @ model.rotation
+    return (z >= 0).astype(np.uint8)
+
+
+def codes_to_lanes(codes: np.ndarray) -> np.ndarray:
+    """(n, n_bits) 0/1 -> (n, n_bits//64) int64 lanes (H11 bits->int pack)."""
+    n, n_bits = codes.shape
+    assert n_bits % 64 == 0
+    lanes = np.zeros((n, n_bits // 64), dtype=np.uint64)
+    u = codes.astype(np.uint64)
+    for lane in range(n_bits // 64):
+        chunk = u[:, lane * 64 : (lane + 1) * 64]
+        lanes[:, lane] = (chunk << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    return lanes.astype(np.int64)
+
+
+def fit_itq_on_dataframe(
+    df: DataFrame, vec_col: str, n_bits: int,
+    sample_rows: int = 10_000, n_iter: int = 50, seed: int = 42,
+) -> ITQModel:
+    """Bounded driver-side fit: deterministic sample (sort by id hash) of at
+    most `sample_rows` vectors."""
+    frac_df = df.select(vec_col).limit(sample_rows)
+    pdf = frac_df.toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+    return itq_fit(x, n_bits, n_iter=n_iter, seed=seed)
+
+
+def make_itq_udf(model: ITQModel):
+    """pandas_udf: array<float> -> array<long> ITQ code lanes."""
+    mean, pca, rot = model.mean, model.pca, model.rotation
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def itq_code(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = ITQModel(mean=mean, pca=pca, rotation=rot)
+        for s in it:
+            x = np.stack([np.asarray(v, dtype=np.float32) for v in s])
+            lanes = codes_to_lanes(itq_transform_numpy(x, m))
+            yield pd.Series(list(lanes))
+
+    return itq_code
+
+
+# --- whitening (H15) --------------------------------------------------------
+
+@dataclass
+class WhitenModel:
+    mean: np.ndarray
+    w: np.ndarray  # (dim, dim) whitening matrix U diag(1/sqrt(s)) U^T
+
+
+def whitening_fit(x: np.ndarray, eps: float = 1e-8) -> WhitenModel:
+    x = x.astype(np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = xc.T @ xc / max(1, xc.shape[0] - 1)
+    u, s, _ = np.linalg.svd(cov)
+    w = u @ np.diag(1.0 / np.sqrt(s + eps)) @ u.T
+    return WhitenModel(mean=mean.astype(np.float32), w=w.astype(np.float32))
+
+
+def whitening_transform_numpy(x: np.ndarray, model: WhitenModel,
+                              renormalize: bool = True) -> np.ndarray:
+    z = (x.astype(np.float32) - model.mean) @ model.w
+    if renormalize:
+        n = np.linalg.norm(z, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        z = z / n
+    return z.astype(np.float32)
+
+
+def make_whitening_udf(model: WhitenModel, renormalize: bool = True):
+    mean, w = model.mean, model.w
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def whiten(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = WhitenModel(mean=mean, w=w)
+        for s in it:
+            x = np.stack([np.asarray(v, dtype=np.float32) for v in s])
+            z = whitening_transform_numpy(x, m, renormalize)
+            yield pd.Series(list(z))
+
+    return whiten
+
+
+def isotropy_score(x: np.ndarray) -> float:
+    """Eigenvalue condition-number-based isotropy diagnostic (H16):
+    min(eig)/max(eig) of the covariance — 1.0 is perfectly isotropic."""
+    xc = x.astype(np.float64) - x.mean(axis=0)
+    cov = xc.T @ xc / max(1, xc.shape[0] - 1)
+    eig = np.linalg.eigvalsh(cov)
+    return float(eig.min() / eig.max()) if eig.max() > 0 else 0.0

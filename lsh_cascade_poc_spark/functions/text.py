@@ -114,6 +114,15 @@ def langid(col: Column) -> Column:
     return best_lang
 
 
+def bpe_like_token_count(col: Column) -> Column:
+    """Subword-ish token estimate without a tokenizer model: count the
+    pieces produced by a GPT-2-style pre-tokenization regex (contractions,
+    letter runs, digit runs, punctuation runs, whitespace) — a standard
+    public pattern for budgeting text by approximate BPE tokens."""
+    pattern = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Content fingerprint of the normalized text (exact-dup key)."""
     return F.md5(normalize_text(col))

@@ -74,6 +74,29 @@ def survivors(pairs: DataFrame) -> DataFrame:
     )
 
 
+def collapse_exact_duplicates(
+    docs_with_fp: DataFrame, fp_col: str = "fingerprint", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """One window pass -> (representatives, star_edges).
+
+    representatives = the min-id row of every fingerprint group; star_edges =
+    (root, member) for every non-representative. THE key scale move: exact
+    duplicates (boilerplate floods, mirrored dumps) collapse to one row
+    BEFORE any LSH banding, so an m-fold identical document costs m-1 star
+    edges instead of m fingerprint-colliding rows in every band bucket.
+    Near-dup relations are invariant under the collapse (identical text =>
+    identical shingles => identical jaccard to any third doc), and connected
+    components re-attaches members through the star edges."""
+    w = Window.partitionBy(fp_col)
+    with_root = docs_with_fp.withColumn("_root", F.min(id_col).over(w))
+    reps = with_root.filter(F.col(id_col) == F.col("_root")).drop("_root")
+    star = (
+        with_root.filter(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return reps, star
+
+
 def exact_duplicate_pairs(docs_with_fp: DataFrame, fp_col: str = "fingerprint",
                           id_col: str = "doc_id", group_cap: int = 10_000) -> DataFrame:
     """Exact-duplicate pairs via fingerprint grouping — pairs each doc in a

@@ -45,20 +45,51 @@ def verify_pairs_exact_jaccard(
     pairs: DataFrame,
     signatures: DataFrame,
     threshold: float,
-    estimate_prefilter: float | None = None,
+    estimate_margin: float | None = 0.1,
     shingles_col: str = "shingles",
     minhash_col: str = "minhash",
 ) -> DataFrame:
-    """-> dup_pairs(id_a, id_b, jaccard). Optional cheap lane-agreement
-    prefilter (estimate_prefilter, e.g. threshold - 0.15) drops pairs before
-    the exact set intersection — the cascade's Hamming-rerank analog."""
-    cols = [shingles_col] + ([minhash_col] if estimate_prefilter is not None else [])
-    sided = attach_pair_sides(pairs, signatures, cols)
-    if estimate_prefilter is not None:
-        est = jaccard_estimate_from_signatures(
-            F.col(f"{minhash_col}_a"), F.col(f"{minhash_col}_b")
+    """-> dup_pairs(id_a, id_b, jaccard), verified in three widening joins so
+    the wide shingle arrays shuffle only for near-final survivors (the
+    cascade principle applied to the verify stage itself):
+
+      1. size-ratio prune (16-byte join): J >= t implies
+         min(|A|,|B|)/max(|A|,|B|) >= t — EXACT, zero recall loss.
+      2. MinHash lane-agreement estimate (1KB join): drop pairs whose
+         estimate < t - estimate_margin. The estimate is Binomial(n_perm, J)/
+         n_perm, so at n_perm=128 and margin=0.1 the false-drop probability
+         for a true J >= t pair is ~Phi(-0.1/0.035) < 0.3% — and the numpy
+         reference applies the IDENTICAL rule, so parity is exact.
+      3. exact Jaccard on shingle sets (wide join) >= t.
+
+    Set estimate_margin=None to skip stage 2.
+    """
+    sizes = signatures.select(
+        F.col("doc_id"), F.size(shingles_col).alias("n_sh")
+    )
+    p = (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"}), "id_b")
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b").cast("double")
         )
-        sided = sided.filter(est >= estimate_prefilter)
+        .select("id_a", "id_b")
+    )
+
+    if estimate_margin is not None:
+        mh = signatures.select("doc_id", minhash_col)
+        p = (
+            p.join(mh.withColumnsRenamed({"doc_id": "id_a", minhash_col: "mh_a"}), "id_a")
+            .join(mh.withColumnsRenamed({"doc_id": "id_b", minhash_col: "mh_b"}), "id_b")
+            .filter(
+                jaccard_estimate_from_signatures(F.col("mh_a"), F.col("mh_b"))
+                >= F.lit(threshold - estimate_margin)
+            )
+            .select("id_a", "id_b")
+        )
+
+    sided = attach_pair_sides(p, signatures, [shingles_col])
     jac = jaccard_on_shingle_arrays(
         F.col(f"{shingles_col}_a"), F.col(f"{shingles_col}_b")
     )

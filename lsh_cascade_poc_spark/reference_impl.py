@@ -151,6 +151,7 @@ class ReferenceResult:
     signatures: dict[str, np.ndarray]     # conv_id -> (n_perm,) int64
     dup_pairs: set[tuple[str, str]]       # conv_id pairs, a < b
     clusters: dict[str, str]              # conv_id -> cluster root conv_id
+    rep_of: dict[str, str] | None = None  # conv_id -> its exact-dup-group rep
 
 
 def _band_buckets(sig_items: list[tuple[str, np.ndarray]], n_bands: int,
@@ -214,36 +215,45 @@ def run_reference(turn_rows: list[tuple], cfg: DedupConfig | None = None,
     sig_mat = minhash_flat(flat, offsets, a, b)
     signatures = {c: sig_mat[i] for i, c in enumerate(cids)}
 
-    # exact fingerprint pass
+    # exact-duplicate collapse: one representative (min conv_id) per distinct
+    # text; all LSH passes run over representatives only (mirrors
+    # operators/pairs.py collapse_exact_duplicates)
     exact_pairs: set[tuple[str, str]] = set()
     by_fp: dict[str, list[str]] = defaultdict(list)
     for c in cids:
         by_fp[hashlib.md5(docs[c].encode()).hexdigest()].append(c)
+    reps: list[str] = []
+    rep_of: dict[str, str] = {}
     for members in by_fp.values():
-        if len(members) > 1:
-            ms = sorted(members)
-            root = ms[0]
-            for m in ms[1:]:
-                exact_pairs.add((root, m))
+        # rep = member with min xxhash64(conv_id) — the SAME ordering the
+        # Spark pipeline uses for its int64 doc_id (operators/assemble.py
+        # with_doc_id), so star-edge/pair labels agree exactly
+        ms = sorted(members, key=lambda c: xxh64_i64(c))
+        reps.append(ms[0])
+        for m in ms:
+            rep_of[m] = ms[0]
+        for m in ms[1:]:
+            exact_pairs.add(tuple(sorted((ms[0], m))))
+    reps.sort()
 
     # cascade: coarse bands -> survivors -> tight bands (AND semantics)
-    sig_items = [(c, signatures[c]) for c in cids]
+    sig_items = [(c, signatures[c]) for c in reps]
     coarse = _band_buckets(sig_items, cfg.coarse_n_bands, cfg.coarse_rows_per_band)
     surv = {c for p in coarse for c in p}
     tight_items = [(c, s) for c, s in sig_items if c in surv]
     tight = _band_buckets(tight_items, cfg.tight_n_bands, cfg.tight_rows_per_band)
     mh_cands = coarse & tight
 
-    # simhash pass: 16-bit chunk buckets + hamming <= tau
+    # simhash pass: 16-bit chunk buckets + hamming <= tau (reps only)
     sh_cands: set[tuple[str, str]] = set()
     if include_simhash_pass:
-        sh = simhash_from_hashes_numpy([shingles[c] for c in cids], cfg.simhash_bits)
-        shv = {c: np.uint64(sh[i].astype(np.uint64)) for i, c in enumerate(cids)}
+        sh = simhash_from_hashes_numpy([shingles[c] for c in reps], cfg.simhash_bits)
+        shv = {c: np.uint64(sh[i].astype(np.uint64)) for i, c in enumerate(reps)}
         n_bands = cfg.simhash_bits // cfg.simhash_band_bits
         mask = np.uint64((1 << cfg.simhash_band_bits) - 1)
         for bidx in range(n_bands):
             buckets: dict[int, list[str]] = defaultdict(list)
-            for c in cids:
+            for c in reps:
                 key = int((shv[c] >> np.uint64(bidx * cfg.simhash_band_bits)) & mask)
                 buckets[key].append(c)
             for members in buckets.values():
@@ -251,19 +261,26 @@ def run_reference(turn_rows: list[tuple], cfg: DedupConfig | None = None,
                     ms = sorted(members)
                     for i in range(len(ms)):
                         for j in range(i + 1, len(ms)):
-                            x, y = int(shv[ms[i]] ^ shv[ms[j]]), 0
-                            y = bin(x).count("1")
-                            if y <= cfg.simhash_hamming_tau:
+                            d = bin(int(shv[ms[i]] ^ shv[ms[j]])).count("1")
+                            if d <= cfg.simhash_hamming_tau:
                                 sh_cands.add((ms[i], ms[j]))
 
-    # verify: exact Jaccard >= threshold (exact pairs bypass)
+    # verify: staged pruning identical to operators/verify.py — size-ratio
+    # (exact), minhash lane-agreement estimate >= t - 0.1, exact Jaccard >= t
     dup_pairs: set[tuple[str, str]] = set(exact_pairs)
+    est_cut = cfg.jaccard_threshold - 0.1
     for pair in mh_cands | sh_cands:
         if pair in dup_pairs:
+            continue
+        na, nb = len(shingles[pair[0]]), len(shingles[pair[1]])
+        if min(na, nb) < cfg.jaccard_threshold * max(na, nb):
+            continue
+        est = float((signatures[pair[0]] == signatures[pair[1]]).mean())
+        if est < est_cut:
             continue
         if ref_jaccard(shingles[pair[0]], shingles[pair[1]]) >= cfg.jaccard_threshold:
             dup_pairs.add(pair)
 
     clusters = _union_find_clusters(cids, dup_pairs)
     return ReferenceResult(docs=docs, shingles=shingles, signatures=signatures,
-                           dup_pairs=dup_pairs, clusters=clusters)
+                           dup_pairs=dup_pairs, clusters=clusters, rep_of=rep_of)

@@ -91,28 +91,43 @@ def test_cluster_assignment_matches_reference(spark_result, ref_result):
 
 def test_planted_duplicates_recovered(spark_result, ref_result, tiny_corpus):
     got = _pairs_by_conv(spark_result)
+    id_map = {r.doc_id: r.conv_id for r in spark_result.docs.select("doc_id", "conv_id").collect()}
+    cluster_of = {
+        id_map[r.doc_id]: r.cluster_id for r in spark_result.clusters.collect()
+    }
     gt = tiny_corpus.gt_pairs
     missed = []
     for _, row in gt.iterrows():
         pair = (row.conv_a, row.conv_b)
         if row.kind in ("exact", "whitespace"):
-            assert pair in got, f"{row.kind} pair missed: {pair}"
+            # exact dups are connected through star edges -> same cluster
+            # (the direct pair exists only when one side is the group root)
+            assert cluster_of[row.conv_a] == cluster_of[row.conv_b], \
+                f"{row.kind} pair not co-clustered: {pair}"
         elif row.kind == "edit":
             ja = ref_jaccard(
                 ref_result.shingles[row.conv_a], ref_result.shingles[row.conv_b]
             )
-            if ja >= CFG.jaccard_threshold and pair not in got:
+            rep_pair = tuple(sorted(
+                (ref_result.rep_of[row.conv_a], ref_result.rep_of[row.conv_b])
+            ))
+            if ja >= CFG.jaccard_threshold and rep_pair not in got \
+                    and cluster_of[row.conv_a] != cluster_of[row.conv_b]:
                 missed.append((pair, ja))
         elif row.kind == "substring":
             # substring variants are caught by the overlap stage whenever the
-            # preserved turn is long enough for the winnowing floor
+            # preserved turn is long enough for the winnowing floor; pairs
+            # are emitted between exact-dup-group REPRESENTATIVES
             doc_a = ref_result.docs[row.conv_a].split("\n")
             doc_b = ref_result.docs[row.conv_b].split("\n")
             longest_shared = max(
                 (len(t) for t in doc_a if t in set(doc_b)), default=0
             )
             if longest_shared >= CFG.min_overlap_chars:
-                assert pair in got, f"substring pair missed: {pair}"
+                rep_pair = tuple(sorted(
+                    (ref_result.rep_of[row.conv_a], ref_result.rep_of[row.conv_b])
+                ))
+                assert rep_pair in got, f"substring pair missed: {pair} (reps {rep_pair})"
     assert not missed, f"edit pairs above threshold missed: {missed}"
 
 

@@ -5,13 +5,13 @@ Reference analog: the 128-bit binary fingerprint pipeline
 ITQ transform). Like the reference we compute fingerprints with *batched numpy
 kernels* (src/lsh.py:249-253 does one (bits, dim) @ (dim, n) matmul per batch);
 here the batch arrives as an Arrow RecordBatch inside a pandas_udf, and the
-kernel is a (n_perm, total_shingles) universal-hash + segmented min-reduce.
+kernel is a per-permutation multiply-add + segmented min-reduce.
 
-Universal hash family: h_i(x) = (a_i * fold32(x) + b_i) mod p, p = 2^61 - 1.
-fold32 xor-folds the 64-bit shingle hash to 32 bits so a_i * x fits in uint64
-with NO silent overflow — the kernel is exactly reproducible in pure numpy
-(minhash_numpy), which is the test oracle for batch==reference parity
-(mirrors /root/reference/tests/test_lsh.py:66-72 batch≡single).
+Permutation family: h_i(x) = a_i * x + b_i over Z/2^64 with a_i odd — a
+bijection of the 64-bit shingle-hash space (see make_perms for why no
+modulo). Exactly reproducible in pure numpy (minhash_numpy), the test oracle
+for batch==reference parity (mirrors /root/reference/tests/test_lsh.py:66-72
+batch≡single).
 """
 
 from __future__ import annotations
@@ -23,28 +23,24 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import MERSENNE_P
 
-_P = np.uint64(MERSENNE_P)
-_MASK32 = np.uint64(0xFFFFFFFF)
-_EMPTY_SENTINEL = np.int64(MERSENNE_P)  # signature lane for empty shingle sets
+_EMPTY_SENTINEL = np.int64((1 << 63) - 1)  # signature lane for empty sets
 
 
 def make_perms(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (a, b) parameter vectors, uint64. a in [1, 2^31),
-    b in [0, p). Derived from seed only — broadcast to executors by closure
-    capture, like the reference ships its pickled hyperplane/ITQ params
-    (src/itq_lsh.py:204-237)."""
+    """Deterministic (a, b) parameter vectors, uint64, a ODD. The permutation
+    family is h_i(x) = a_i * x + b_i over Z/2^64 — an odd multiplier makes it
+    a bijection of the 64-bit space, i.e. a true permutation of the (already
+    well-mixed) shingle-hash universe, with no modulo in the hot loop.
+    (The classical mod-Mersenne family cost 2 integer divisions per element;
+    this VM executes 64-bit div ~100x slower than mul, and bijectivity is
+    exactly the property MinHash needs.) Derived from seed only — broadcast
+    to executors by closure capture, like the reference ships its pickled
+    hyperplane/ITQ params (src/itq_lsh.py:204-237)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 31, size=n_perm, dtype=np.uint64)
-    b = rng.integers(0, MERSENNE_P, size=n_perm, dtype=np.uint64)
+    a = (rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64)
     return a, b
-
-
-def _fold32(x: np.ndarray) -> np.ndarray:
-    """xor-fold int64 shingle hashes to 32 bits (uint64 dtype, values < 2^32)."""
-    u = x.astype(np.uint64, copy=False)
-    return (u ^ (u >> np.uint64(32))) & _MASK32
 
 
 def minhash_flat(
@@ -52,11 +48,12 @@ def minhash_flat(
     offsets: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    max_block_elems: int = 32_000_000,
+    max_block_elems: int = 32_000_000,  # kept for signature compat; unused
 ) -> np.ndarray:
     """Core kernel: flat int64 shingle hashes + row offsets -> (n_rows, n_perm)
-    int64 signature matrix. Segmented min via np.minimum.reduceat; permutation
-    blocks sized to bound peak memory."""
+    int64 signature matrix. One reused temp buffer (allocation/first-touch of
+    large temporaries dominates on ballooned VMs); per permutation: one
+    multiply, one add, one segmented min (np.minimum.reduceat)."""
     n_perm = len(a)
     n_rows = len(offsets)
     out = np.empty((n_rows, n_perm), dtype=np.int64)
@@ -64,19 +61,21 @@ def minhash_flat(
         out[:] = _EMPTY_SENTINEL
         return out
 
-    x32 = _fold32(flat)
+    x = flat.astype(np.uint64, copy=False)
     lengths = np.diff(np.append(offsets, flat.size))
-    empty_rows = lengths == 0
-    # reduceat requires strictly valid indices; clamp empty-row offsets
-    safe_offsets = np.minimum(offsets, flat.size - 1).astype(np.intp)
+    nonempty = lengths > 0
+    # reduceat over NON-EMPTY row offsets only: an empty row's offset equals
+    # the next row's offset, and clamping it into range would steal the last
+    # element of the preceding segment (a genuine corruption bug caught by
+    # the batch-vs-oracle parity test)
+    off_ne = offsets[nonempty].astype(np.intp)
 
-    block = max(1, min(n_perm, max_block_elems // max(1, flat.size)))
-    for s in range(0, n_perm, block):
-        e = min(n_perm, s + block)
-        h = (a[s:e, None] * x32[None, :] + b[s:e, None]) % _P  # (blk, total)
-        mins = np.minimum.reduceat(h, safe_offsets, axis=1)     # (blk, n_rows)
-        out[:, s:e] = mins.T.astype(np.int64)
-    out[empty_rows, :] = _EMPTY_SENTINEL
+    out[:] = _EMPTY_SENTINEL
+    t = np.empty(flat.size, dtype=np.uint64)  # reused across all perms
+    for i in range(n_perm):
+        np.multiply(x, a[i], out=t)
+        np.add(t, b[i], out=t)
+        out[nonempty, i] = np.minimum.reduceat(t, off_ne).view(np.int64)
     return out
 
 

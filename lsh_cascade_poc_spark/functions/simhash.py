@@ -45,20 +45,32 @@ def simhash_from_hashes_numpy(hash_sets: list[np.ndarray], n_bits: int = 64) -> 
 
 
 def _simhash_flat(flat: np.ndarray, offsets: np.ndarray, n_rows: int, n_bits: int) -> np.ndarray:
-    """Vectorized segmented version of the oracle above."""
-    out = np.zeros(n_rows, dtype=np.int64)
+    """Vectorized segmented version of the oracle above. Loops over bit
+    positions with ONE reused (total,) temp instead of materializing the
+    (total, n_bits) vote matrix — large first-touch allocations dominate on
+    ballooned VMs. Per bit: count set bits per segment; vote sum =
+    2*count - len."""
+    out_u = np.zeros(n_rows, dtype=np.uint64)
     if flat.size == 0:
-        return out
-    u = flat.astype(np.uint64)
-    # (total, n_bits) ±1 votes; int8 keeps the batch small
-    votes = (((u[:, None] >> np.arange(n_bits, dtype=np.uint64)) & np.uint64(1)).astype(np.int8) * 2 - 1)
+        return out_u.view(np.int64)
+    u = flat.astype(np.uint64, copy=False)
     lengths = np.diff(np.append(offsets, flat.size))
-    safe_offsets = np.minimum(offsets, flat.size - 1).astype(np.intp)
-    sums = np.add.reduceat(votes.astype(np.int32), safe_offsets, axis=0)  # (n_rows, n_bits)
-    codes = (sums > 0).astype(np.uint64) << np.arange(n_bits, dtype=np.uint64)[None, :]
-    packed = np.bitwise_or.reduce(codes, axis=1)
-    packed[lengths == 0] = np.uint64(0)
-    return packed.astype(np.int64)
+    nonempty = lengths > 0
+    # see minhash_flat: reduceat over non-empty offsets only, else an empty
+    # row's offset corrupts the preceding segment
+    off_ne = offsets[nonempty].astype(np.intp)
+    len_ne = lengths[nonempty]
+
+    t = np.empty(flat.size, dtype=np.uint64)  # reused per bit
+    code_ne = np.zeros(off_ne.shape[0], dtype=np.uint64)
+    for bit in range(n_bits):
+        np.right_shift(u, np.uint64(bit), out=t)
+        np.bitwise_and(t, np.uint64(1), out=t)
+        counts = np.add.reduceat(t, off_ne)                 # set bits per row
+        positive = (counts.view(np.int64) * 2) > len_ne     # vote sum > 0
+        code_ne |= positive.astype(np.uint64) << np.uint64(bit)
+    out_u[nonempty] = code_ne
+    return out_u.view(np.int64)
 
 
 def make_simhash_udf(n_bits: int = 64):

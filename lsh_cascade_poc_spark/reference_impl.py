@@ -133,15 +133,29 @@ def ref_assemble(turn_rows: list[tuple], max_turn_chars: int = 2048,
 
 
 def ref_shingles(doc: str, k: int) -> np.ndarray:
-    toks = [t for t in doc.split() if t]
+    """Same scheme as the engine's fused kernel (functions/signature_udf.py):
+    per-token U16 lane-mix hash, degree-(k-1) polynomial shingle combine,
+    distinct + sort. Re-derived here per token (scalar path) to keep this
+    an independent check of the batched kernel's segmentation logic."""
+    toks = doc.split() if doc else []
     if not toks:
         return np.empty(0, dtype=np.int64)
-    if len(toks) < k:
-        grams = [" ".join(toks)]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    vals = sorted({xxh64_i64(g) for g in grams})
-    return np.array(vals, dtype=np.int64)
+    from .functions.signature_udf import (
+        _SHINGLE_BASE,
+        hash_tokens,
+    )
+
+    th = [int(hash_tokens([t])[0]) for t in toks]  # one token at a time
+    kk = min(k, len(toks))
+    base = int(_SHINGLE_BASE)
+    mask = (1 << 64) - 1
+    out = []
+    for i in range(len(toks) - kk + 1):
+        acc = 0
+        for j in range(kk):
+            acc = (acc * base + th[i + j]) & mask  # uint64 wraparound
+        out.append(acc - (1 << 64) if acc >= (1 << 63) else acc)
+    return np.unique(np.array(out, dtype=np.int64))
 
 
 @dataclass

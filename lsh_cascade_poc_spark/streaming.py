@@ -1,0 +1,148 @@
+"""Structured Streaming ingest: incremental signatures + dedup-vs-index.
+
+The reference is batch-only (SURVEY.md §2.6: no streaming); the north rule
+doesn't require it either, but a 10^12-turn corpus is APPENDED to in
+practice, so the engine ships an incremental path:
+
+  readStream(turn files) -> foreachBatch:
+      1. assemble the micro-batch's conversations (complete convs per batch —
+         the file-per-conversation-chunk contract; cross-batch conv stitching
+         would need applyInPandasWithState and is out of scope for v1)
+      2. compute signatures with the SAME kernels as the batch pipeline
+      3. match new docs against the EXISTING banded index (join, not self-join)
+      4. append new signatures + discovered dup pairs to the index tables
+
+Each micro-batch costs one band join of (new x indexed) instead of a full
+self-join — the standard "probe the inverted index" incremental dedup. All
+state lives in parquet tables (index_dir), so the stream is restartable via
+Spark's checkpointLocation + idempotent batch-id guard.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+from .operators.assemble import assemble_conversations, with_doc_id
+from .operators.bands import explode_bands
+from .pipeline import build_signatures
+
+TURNS_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+class IncrementalDedup:
+    """foreachBatch sink: maintains signatures + band index + dup pairs."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, cfg: DedupConfig | None = None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.cfg = cfg or DedupConfig()
+        os.makedirs(index_dir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.index_dir, name)
+
+    def _exists(self, name: str) -> bool:
+        p = self._path(name)
+        return os.path.exists(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ) if os.path.exists(p) else False
+
+    def _bands_of(self, signatures: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        return explode_bands(
+            signatures, "minhash", tier=0,
+            n_bands=cfg.coarse_n_bands, rows_per_band=cfg.coarse_rows_per_band,
+        )
+
+    def process_batch(self, turns_batch: DataFrame, batch_id: int) -> None:
+        cfg = self.cfg
+        spark = self.spark
+        done_marker = self._path(f"_batch_{batch_id}_done")
+        if os.path.exists(done_marker):
+            return  # replayed micro-batch after restart: already applied
+
+        docs = with_doc_id(
+            assemble_conversations(
+                turns_batch, max_turn_chars=cfg.max_turn_chars,
+                min_doc_chars=cfg.min_doc_chars,
+            )
+        )
+        sigs = build_signatures(docs, cfg).localCheckpoint(eager=True)
+        new_bands = self._bands_of(sigs)
+
+        if self._exists("bands"):
+            idx_bands = spark.read.parquet(self._path("bands"))
+            idx_sigs = spark.read.parquet(self._path("signatures"))
+            # probe: new docs vs existing index (plus new-vs-new self-join)
+            probe = new_bands.select(
+                "tier", "band_id", "band_key", F.col("doc_id").alias("id_new")
+            )
+            hits_old = (
+                probe.join(idx_bands.select(
+                    "tier", "band_id", "band_key", F.col("doc_id").alias("id_old")),
+                    ["tier", "band_id", "band_key"])
+                .select(
+                    F.least("id_new", "id_old").alias("id_a"),
+                    F.greatest("id_new", "id_old").alias("id_b"),
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+                .distinct()
+            )
+            l = new_bands.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_a"))
+            r = new_bands.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_b"))
+            hits_new = (
+                l.join(r, ["tier", "band_id", "band_key"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct()
+            )
+            cands = hits_old.unionByName(hits_new).distinct()
+            all_sigs = idx_sigs.unionByName(sigs).localCheckpoint(eager=True)
+        else:
+            l = new_bands.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_a"))
+            r = new_bands.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_b"))
+            cands = (
+                l.join(r, ["tier", "band_id", "band_key"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct()
+            )
+            all_sigs = sigs
+
+        from .operators.verify import verify_pairs_exact_jaccard
+
+        dup = verify_pairs_exact_jaccard(
+            cands, all_sigs, threshold=cfg.jaccard_threshold
+        )
+
+        sigs.write.mode("append").parquet(self._path("signatures"))
+        new_bands.write.mode("append").parquet(self._path("bands"))
+        dup.write.mode("append").parquet(self._path("dup_pairs"))
+        with open(done_marker, "w") as f:
+            f.write("ok")
+
+    # -- convenience wiring -------------------------------------------------
+
+    def start(self, source_dir: str, checkpoint_dir: str,
+              trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(TURNS_DDL).parquet(source_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def dup_pairs(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("dup_pairs"))
+
+    def signatures(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("signatures"))

@@ -51,41 +51,30 @@ _ROLL_P = (1 << 61) - 1
 _ROLL_BASE = 1_000_003
 
 
-_P61 = np.uint64(_ROLL_P)
-_LO32 = np.uint64(0xFFFFFFFF)
-_S32 = np.uint64(32)
-
-
-def _mulmod61(a: np.ndarray, b: np.uint64) -> np.ndarray:
-    """(a * b) mod (2^61 - 1), element-wise, overflow-free in uint64.
-    Uses 32-bit splitting plus the Mersenne identity 2^61 ≡ 1 (so 2^64 ≡ 8):
-      a*b = ah*bh*2^64 + (ah*bl + al*bh)*2^32 + al*bl
-    every intermediate stays < 2^64."""
-    ah, al = a >> _S32, a & _LO32
-    bh, bl = np.uint64(int(b) >> 32), np.uint64(int(b) & 0xFFFFFFFF)
-    top = (ah * bh % _P61) * np.uint64(8) % _P61          # *2^64 ≡ *8
-    mid = (ah * bl % _P61 + al * bh % _P61) % _P61        # coefficient of 2^32
-    mh, ml = mid >> _S32, mid & _LO32
-    mid = (mh * np.uint64(8) + ((ml << _S32) % _P61)) % _P61
-    low = (al * bl) % _P61
-    return (top + mid + low) % _P61
+def _kgram_hashes_flat(data: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial hashes of all k-byte windows of a flat byte array, with
+    wraparound uint64 arithmetic (Horner, no modulo — this VM's 64-bit
+    division is ~100x slower than multiply, and a hash collision here only
+    costs one rejected extension in _extend_match, which re-checks bytes).
+    Returns (len(data) - k + 1,) uint64; caller slices out per-doc ranges
+    and discards windows that straddle document boundaries."""
+    n = data.size
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    vals = data.astype(np.uint64)
+    m = n - k + 1
+    base = np.uint64(_ROLL_BASE)
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        np.multiply(acc, base, out=acc)
+        np.add(acc, vals[j : j + m], out=acc)
+    return acc
 
 
 def _kgram_hashes(text: str, k: int) -> np.ndarray:
-    """Polynomial hashes of all k-char grams over GF(2^61-1), fully
-    vectorized: k passes of shifted multiply-add over the byte array
-    (k is small and fixed; each pass is a numpy vector op)."""
+    """Single-text convenience wrapper -> int64."""
     data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
-    n = data.size
-    if n < k:
-        return np.empty(0, dtype=np.int64)
-    vals = data.astype(np.uint64)
-    m = n - k + 1
-    acc = np.zeros(m, dtype=np.uint64)
-    for j in range(k):
-        c = np.uint64(pow(_ROLL_BASE, k - 1 - j, _ROLL_P))
-        acc = (acc + _mulmod61(vals[j : j + m], c)) % _P61
-    return acc.astype(np.int64)
+    return _kgram_hashes_flat(data, k).view(np.int64)
 
 
 def _winnow(grams: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
@@ -107,20 +96,31 @@ def _winnow(grams: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def make_winnow_udf(k: int, w: int):
-    """pandas_udf: text -> array<struct<fp:long, pos:int>>."""
+    """pandas_udf: text -> array<struct<fp:long, pos:int>>. The k-gram
+    convolution runs ONCE over the batch's concatenated bytes (k vectorized
+    passes); only the cheap per-doc winnow loop remains Python-level."""
     @F.pandas_udf(_FP_SCHEMA)
     def winnow_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
+            encoded = [
+                (t.encode("utf-8", "replace") if t else b"") for t in s
+            ]
+            lengths = np.fromiter((len(b) for b in encoded), dtype=np.int64,
+                                  count=len(encoded))
+            flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+            grams_flat = _kgram_hashes_flat(flat, k)
             out = []
-            for text in s:
-                if not text:
+            off = 0
+            for n_bytes in lengths:
+                m = n_bytes - k + 1
+                if m <= 0:
                     out.append([])
-                    continue
-                grams = _kgram_hashes(text, k)
-                fps, pos = _winnow(grams, w)
-                out.append(
-                    [{"fp": int(f), "pos": int(p)} for f, p in zip(fps, pos)]
-                )
+                else:
+                    fps, pos = _winnow(grams_flat[off : off + m].view(np.int64), w)
+                    out.append(
+                        [{"fp": int(f), "pos": int(p)} for f, p in zip(fps, pos)]
+                    )
+                off += n_bytes
             yield pd.Series(out)
 
     return winnow_udf

@@ -19,12 +19,13 @@ _ROLL_BASE = 1_000_003
 
 def _naive_kgram_hashes(text: str, k: int) -> list[int]:
     data = text.encode("utf-8", "replace")
+    mask = (1 << 64) - 1
     out = []
     for i in range(len(data) - k + 1):
         h = 0
         for ch in data[i : i + k]:
-            h = (h * _ROLL_BASE + ch) % _ROLL_P
-        out.append(h)
+            h = (h * _ROLL_BASE + ch) & mask  # uint64 wraparound
+        out.append(h - (1 << 64) if h >= (1 << 63) else h)
     return out
 
 

@@ -432,6 +432,101 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: Recall@10 of the Hamming-signbit ranking vs exact-cosine ground
+    truth, per query (evaluate_recall, src/cascade_search.py:244-290)."""
+    pred = q_hamming_topk(spark, sf_dir).select("query_id", "doc_id")
+    gt = q_cosine_topk(spark, sf_dir).select("query_id", "doc_id") \
+        .filter(F.col("query_id") < 3)
+    hits = pred.join(gt, ["query_id", "doc_id"], "left_semi") \
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        gt.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(5.0), 6).alias("recall_at_k"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumsum session ids per user, then
+    per-session stats — the windowed-state operator a transcript pipeline
+    needs for conversation splitting."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ: cast through timestamp (session TZ = UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    lag_epoch = F.lag(epoch).over(w)
+    gap = (
+        F.when(lag_epoch.isNull(), 1)           # first event opens session 1
+        .when(epoch - lag_epoch > 1800, 1)
+        .otherwise(0)
+    )
+    sess = ev.withColumn("new_sess", gap) \
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+def q_multiprobe_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 multiprobe: probe keys = each 16-bit band key of query vec_id=7
+    plus all single-bit flips; candidates share any probed (band, key);
+    verified with hamming <= 24."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_SIGNBIT).alias("h")
+    )
+    bands = emb.select(
+        "vec_id", "h",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("h", i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("band_id", "band_key"),
+    )
+    qb = bands.filter(F.col("vec_id") == 7).select(
+        "band_id", "band_key", F.col("h").alias("qh")
+    )
+    probes = qb.select(
+        "band_id", "qh",
+        F.explode(
+            F.array(F.col("band_key"), *[
+                F.col("band_key").bitwiseXOR(F.lit(1 << i)) for i in range(16)
+            ])
+        ).alias("band_key"),
+    )
+    return (
+        bands.join(probes, ["band_id", "band_key"])
+        .filter(F.col("vec_id") != 7)
+        .withColumn("hamming", F.bit_count(F.col("h").bitwiseXOR(F.col("qh"))))
+        .filter(F.col("hamming") <= 24)
+        .select("vec_id", "hamming")
+        .distinct()
+    )
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over events (engine breadth; deterministic measures
+    only — double sums are pre-quantized to integers)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.round(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_milli").alias("sum_value_milli"),
+        F.min("value_milli").alias("min_value_milli"),
+        F.max("value_milli").alias("max_value_milli"),
+    )
+
+
 # --- rows-only (non-SQL-expressible: Arrow UDF kernels / iterative) ---------
 
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,6 +707,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_docs": q_cluster_docs,
         "pivot_prefilter": q_pivot_prefilter,
         "token_count_bpe": q_token_count_bpe,
+        "recall_eval": q_recall_eval,
+        "sessionize": q_sessionize,
+        "multiprobe_hamming": q_multiprobe_hamming,
+        "cube_events": q_cube_events,
         "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "overlap_pairs": q_overlap_pairs,
@@ -850,6 +949,101 @@ def oracle_sql() -> dict[str, str]:
       FROM dd JOIN qd USING (pid)
       GROUP BY dd.vec_id
       HAVING max(abs(dd.dd - qd.qd)) <= 8
+    """
+
+    sql["recall_eval"] = f"""
+      WITH sig AS (SELECT vec_id, {_DUCK_SIGNBIT} AS h FROM embeddings),
+      hscored AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+               bit_count(xor(q.h, d.h)) AS hamming
+        FROM sig q JOIN sig d ON q.vec_id <> d.vec_id WHERE q.vec_id < 5
+      ),
+      pred AS (
+        SELECT query_id, doc_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, doc_id) AS r
+          FROM hscored) WHERE r <= 10
+      ),
+      cscored AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+               round(
+                 list_reduce(list_transform(generate_series(1, 64),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(d.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+                 / (SQRT(list_reduce(list_transform(generate_series(1, 64),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+                      (x, y) -> x + y))
+                    * SQRT(list_reduce(list_transform(generate_series(1, 64),
+                        i -> CAST(d.embedding[i] AS DOUBLE) * CAST(d.embedding[i] AS DOUBLE)),
+                      (x, y) -> x + y))), 6) AS cosine
+        FROM embeddings q JOIN embeddings d ON q.vec_id <> d.vec_id
+        WHERE q.vec_id < 3
+      ),
+      gt AS (
+        SELECT query_id, doc_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS r
+          FROM cscored) WHERE r <= 5
+      ),
+      hits AS (
+        SELECT p.query_id, count(*) AS n_hits
+        FROM pred p WHERE EXISTS (
+          SELECT 1 FROM gt g WHERE g.query_id = p.query_id AND g.doc_id = p.doc_id)
+        GROUP BY p.query_id
+      )
+      SELECT q.query_id,
+             coalesce(h.n_hits, 0) AS n_hits,
+             round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall_at_k
+      FROM (SELECT DISTINCT query_id FROM gt) q
+      LEFT JOIN hits h USING (query_id)
+    """
+
+    sql["sessionize"] = """
+      WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1
+                    WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM lagged
+      )
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS start_ts, max(ts) AS end_ts
+      FROM sess GROUP BY user_id, session_id
+    """
+
+    sql["multiprobe_hamming"] = f"""
+      WITH sig AS (SELECT vec_id, {_DUCK_SIGNBIT} AS h FROM embeddings),
+      bands AS (
+        -- unsigned 16-bit band extraction: DuckDB BIGINT >> is arithmetic,
+        -- so lift to HUGEINT two's-complement first (Spark uses shiftrightunsigned)
+        SELECT vec_id, h, b.band_id,
+               CAST(((h::HUGEINT + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)
+                     >> (b.band_id * 16)) & 65535 AS BIGINT) AS band_key
+        FROM sig, (SELECT unnest([0,1,2,3]) AS band_id) b
+      ),
+      probes AS (
+        SELECT band_id, h AS qh, unnest(
+          [band_key] || list_transform(generate_series(0, 15),
+                                       i -> xor(band_key, 1::BIGINT << i))
+        ) AS band_key
+        FROM bands WHERE vec_id = 7
+      )
+      SELECT DISTINCT d.vec_id, bit_count(xor(d.h, p.qh)) AS hamming
+      FROM bands d JOIN probes p ON d.band_id = p.band_id AND d.band_key = p.band_key
+      WHERE d.vec_id <> 7 AND bit_count(xor(d.h, p.qh)) <= 24
+    """
+
+    sql["cube_events"] = """
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events,
+             sum(CAST(round(value * 1000) AS BIGINT)) AS sum_value_milli,
+             min(CAST(round(value * 1000) AS BIGINT)) AS min_value_milli,
+             max(CAST(round(value * 1000) AS BIGINT)) AS max_value_milli
+      FROM events
+      GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
     """
 
     sql["token_count_bpe"] = r"""

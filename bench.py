@@ -84,19 +84,42 @@ def _mk_spark(cores: int):
     )
 
 
-def _run_pipeline(spark, turns_path: str) -> tuple[float, int, int]:
-    """One full cascade run -> (wall_sec, n_turns, n_clusters)."""
+def _run_pipeline(spark, turns_path: str, warmup: bool = True) -> tuple[float, float, int, int]:
+    """Full cascade -> (warm_wall_sec, cold_wall_sec, n_turns, n_clusters).
+
+    Two runs per session: the first inflates this sandbox VM's ballooned
+    memory (page first-touch is served by a serialized fault handler at
+    ~6 MB/s, costing 300+ seconds REGARDLESS of core count — measured:
+    signatures stage 316s at 32 cores vs 377s at 8 cores on identical input);
+    the second run reuses worker/JVM memory pools and is the CPU-bound
+    steady-state a real cluster sees. Throughput and scaling efficiency are
+    reported from the warm run; the cold wall is reported alongside.
+    """
     from lsh_cascade_poc_spark.config import DedupConfig
     from lsh_cascade_poc_spark.pipeline import run_dedup
 
     turns = spark.read.parquet(turns_path)
     n_turns = turns.count()
     cfg = DedupConfig()
-    t0 = time.perf_counter()
-    res = run_dedup(spark, turns, cfg=cfg, enable_overlap_stage=True)
-    n_clusters = res.clusters.select("cluster_id").distinct().count()
-    wall = time.perf_counter() - t0
-    return wall, n_turns, n_clusters
+
+    def once() -> tuple[float, int]:
+        t0 = time.perf_counter()
+        res = run_dedup(spark, turns, cfg=cfg, enable_overlap_stage=True)
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        wall = time.perf_counter() - t0
+        for df in (res.docs, res.signatures, res.dup_pairs, res.clusters):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        return wall, n_clusters
+
+    cold_wall, n_clusters = once()
+    warm_wall = cold_wall
+    if warmup:
+        warm_wall, n_clusters2 = once()
+        assert n_clusters2 == n_clusters, "pipeline nondeterministic across runs"
+    return warm_wall, cold_wall, n_turns, n_clusters
 
 
 def main() -> None:
@@ -116,16 +139,18 @@ def main() -> None:
         results[name] = round(time.perf_counter() - t0, 3)
         _ = n
 
-    # headline: dedup cascade at full parallelism
-    wall_hi, n_turns, n_clusters_hi = _run_pipeline(spark, turns_path)
+    # headline: dedup cascade at full parallelism (warm = steady-state)
+    wall_hi, cold_hi, n_turns, n_clusters_hi = _run_pipeline(spark, turns_path)
     results["dedup_pipeline"] = round(wall_hi, 3)
+    results["dedup_pipeline_cold"] = round(cold_hi, 3)
     spark.stop()
 
     # scaling evidence: identical job at quarter parallelism
     lo_cores = max(2, CPUS // 4)
     spark_lo = _mk_spark(lo_cores)
-    wall_lo, _, n_clusters_lo = _run_pipeline(spark_lo, turns_path)
+    wall_lo, cold_lo, _, n_clusters_lo = _run_pipeline(spark_lo, turns_path)
     results[f"dedup_pipeline_c{lo_cores}"] = round(wall_lo, 3)
+    results[f"dedup_pipeline_c{lo_cores}_cold"] = round(cold_lo, 3)
     spark_lo.stop()
 
     assert n_clusters_hi == n_clusters_lo, (

@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_TURNS_BASE = int(os.environ.get("BENCH_N_BASE", "75000"))
+BENCH_TURNS_BASE = int(os.environ.get("BENCH_N_BASE", "250000"))
 CACHE_DIR = os.path.join(REPO, ".bench_cache")
 
 # operator queries benched at the sf dir (cheap/medium ones; the quadratic
@@ -50,26 +50,24 @@ BENCH_QUERIES = [
 
 
 def _corpus_path() -> str:
-    return os.path.join(CACHE_DIR, f"turns_n{BENCH_TURNS_BASE}_seed42")
+    return os.path.join(CACHE_DIR, f"turns_v2_n{BENCH_TURNS_BASE}_seed42")
 
 
 def _ensure_corpus(spark) -> str:
-    """Deterministic synthetic transcript corpus, generated once and cached
-    (generation is driver-side numpy; the bench measures Spark, not datagen)."""
+    """Deterministic synthetic transcript corpus, generated once (distributed
+    mapInPandas expansion, deterministic per conversation index) and cached."""
     path = _corpus_path()
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        from lsh_cascade_poc_spark.datagen.transcripts import (
-            corpus_to_spark,
-            generate_corpus,
+        from lsh_cascade_poc_spark.datagen.transcripts_spark import (
+            generate_corpus_distributed,
         )
 
         if os.path.exists(path):
             shutil.rmtree(path)
-        corpus = generate_corpus(
-            n_base=BENCH_TURNS_BASE, dup_fraction=0.3, seed=42
-        )
-        corpus_to_spark(spark, corpus).repartition(64).write.mode("overwrite").parquet(path)
+        generate_corpus_distributed(
+            spark, n_base=BENCH_TURNS_BASE, dup_fraction=0.3, seed=42
+        ).write.mode("overwrite").parquet(path)
     return path
 
 

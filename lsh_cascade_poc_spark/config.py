@@ -71,6 +71,14 @@ class DedupConfig:
     winnow_window: int = 32          # winnowing window (guarantee: matches of
                                      # length >= window + k - 1 chars are caught)
     min_overlap_chars: int = 200     # report pairs sharing an exact substring >= this
+    # fingerprints shared by more docs than this are boilerplate, not
+    # long-overlap evidence — drop them before the quadratic self-join
+    # (tighter than hot_band_cap: overlap fps are char-level and skew harder)
+    overlap_hot_cap: int = 200
+    # a real >=200-char overlap spans ~(200-55)/16 ≈ 9 winnow windows, so
+    # genuine pairs share many fingerprints; requiring >=2 kills the
+    # accidental single-fp collisions that dominate the candidate set
+    overlap_min_shared_fps: int = 2
     # overlap pairs are *evidence* by default (reported in dup_pairs with
     # jaccard = -1) but do NOT merge clusters: shared boilerplate turns would
     # otherwise chain unrelated conversations into one giant component

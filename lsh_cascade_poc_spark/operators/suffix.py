@@ -137,18 +137,24 @@ def winnow_fingerprints(docs: DataFrame, k: int, w: int,
     )
 
 
-def overlap_candidates(fps: DataFrame, hot_cap: int = 500) -> DataFrame:
+def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
+                       min_shared_fps: int = 1) -> DataFrame:
     """Self-join fingerprints -> (id_a, id_b, pos_a, pos_b) seed candidates,
     keeping ONE seed per pair (the lexicographically smallest) to bound the
-    verify stage. Hot fingerprints above `hot_cap` docs are dropped (recorded
-    by the pipeline like hot bands)."""
+    verify stage.
+
+    Skew control: fingerprints shared by more than `hot_cap` docs are
+    boilerplate (short repeated turns), not long-overlap evidence — dropped
+    before the self-join (quadratic in bucket size). `min_shared_fps`
+    exploits the winnowing density (one fingerprint per ~w/2 chars): a true
+    long overlap shares many fingerprints, an accidental collision one."""
     counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
     cold = fps.join(
         counts.filter(F.col("n_docs") <= hot_cap).select("fp"), "fp", "left_semi"
     )
     a = cold.select("fp", F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"))
     b = cold.select("fp", F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"))
-    return (
+    out = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -163,6 +169,9 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 500) -> DataFrame:
             "n_shared_fps",
         )
     )
+    if min_shared_fps > 1:
+        out = out.filter(F.col("n_shared_fps") >= min_shared_fps)
+    return out
 
 
 def _extend_match(ta: str, tb: str, pa: int, pb: int, k: int) -> int:

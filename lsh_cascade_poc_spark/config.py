@@ -88,6 +88,11 @@ class DedupConfig:
     jaccard_threshold: float = 0.80
     cc_max_iterations: int = 20
 
+    # doc_id = xxhash64(conv_id) can collide (birthday bound ~n^2/2^65: real
+    # at 10^12 docs). One cheap aggregate over the materialized docs stage
+    # detects it and fails loudly instead of silently merging conversations.
+    check_id_collisions: bool = True
+
     # --- execution ---
     seed: int = 42
     shuffle_partitions: int = 32

@@ -89,49 +89,63 @@ _SIG_SCHEMA = T.StructType([
 ])
 
 
+# Rows per internal slice: bounds worker peak memory INDEPENDENTLY of the
+# session's arrow.maxRecordsPerBatch (r1's bench died with 32 workers each
+# materializing a full 10k-row batch of multi-KB docs; iterator UDFs may
+# yield MORE batches than they receive, so we re-slice here).
+_CHUNK_ROWS = 1024
+
+
 def make_signature_udf(shingle_k: int, n_perm: int, minhash_seed: int,
                        simhash_bits: int = 64):
     """pandas_udf: doc_text -> struct(shingles, minhash, simhash)."""
     a, b = make_perms(n_perm, minhash_seed)
 
+    def _one_chunk(texts: list[str]) -> pd.DataFrame:
+        n_rows = len(texts)
+        # flat token stream + per-doc token counts
+        tok_lists = [t.split() if t else [] for t in texts]
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                             count=n_rows)
+        flat_tokens: list[str] = [tok for lst in tok_lists for tok in lst]
+        del tok_lists
+        th_flat = hash_tokens(flat_tokens)
+        del flat_tokens
+
+        # per-doc shingle hashes (vectorized inner combine), then
+        # distinct+sort per doc
+        shingle_arrays: list[np.ndarray] = []
+        pos = 0
+        for c in counts:
+            th = th_flat[pos : pos + c]
+            pos += c
+            sh = shingle_hashes_from_token_hashes(th, shingle_k)
+            shingle_arrays.append(np.unique(sh.astype(np.int64)))
+
+        lengths = np.fromiter((len(x) for x in shingle_arrays),
+                              dtype=np.int64, count=n_rows)
+        flat = (np.concatenate(shingle_arrays) if lengths.sum()
+                else np.empty(0, np.int64))
+        offsets = np.zeros(n_rows, dtype=np.int64)
+        if n_rows > 1:
+            np.cumsum(lengths[:-1], out=offsets[1:])
+
+        sig = minhash_flat(flat, offsets, a, b)            # (n, n_perm)
+        sim = _simhash_flat(flat, offsets, n_rows, simhash_bits)
+
+        # numpy arrays pass straight through pandas->Arrow conversion as
+        # list values — no .tolist() materialization of Python ints (the
+        # per-batch GB-scale heap spike that killed r1's bench workers)
+        return pd.DataFrame({
+            "shingles": shingle_arrays,
+            "minhash": list(sig),
+            "simhash": sim,
+        })
+
     @F.pandas_udf(_SIG_SCHEMA)
     def signature(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
-            texts = s.tolist()
-            n_rows = len(texts)
-            # flat token stream + per-doc token counts
-            tok_lists = [t.split() if t else [] for t in texts]
-            counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
-                                 count=n_rows)
-            flat_tokens: list[str] = [tok for lst in tok_lists for tok in lst]
-            th_flat = hash_tokens(flat_tokens)
-
-            # per-doc shingle hashes (vectorized inner combine), then
-            # distinct+sort per doc
-            shingle_arrays: list[np.ndarray] = []
-            pos = 0
-            for c in counts:
-                th = th_flat[pos : pos + c]
-                pos += c
-                sh = shingle_hashes_from_token_hashes(th, shingle_k)
-                shingle_arrays.append(np.unique(sh.astype(np.int64)))
-
-            lengths = np.fromiter((len(x) for x in shingle_arrays),
-                                  dtype=np.int64, count=n_rows)
-            flat = (np.concatenate(shingle_arrays) if lengths.sum()
-                    else np.empty(0, np.int64))
-            offsets = np.zeros(n_rows, dtype=np.int64)
-            if n_rows > 1:
-                np.cumsum(lengths[:-1], out=offsets[1:])
-
-            sig = minhash_flat(flat, offsets, a, b)            # (n, n_perm)
-            sim = _simhash_flat(flat, offsets, n_rows, simhash_bits)
-
-            # struct output: iterator-of-DataFrame, one column per field
-            yield pd.DataFrame({
-                "shingles": [x.tolist() for x in shingle_arrays],
-                "minhash": [row.tolist() for row in sig],
-                "simhash": sim,
-            })
+            for lo in range(0, len(s), _CHUNK_ROWS):
+                yield _one_chunk(s.iloc[lo : lo + _CHUNK_ROWS].tolist())
 
     return signature

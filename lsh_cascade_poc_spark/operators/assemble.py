@@ -71,9 +71,12 @@ def assemble_conversations(
 
 
 def with_doc_id(docs: DataFrame) -> DataFrame:
-    """Stable dense int64 doc_id derived from conv_id (xxhash64) — NOT
+    """Stable int64 doc_id derived from conv_id (xxhash64) — NOT
     monotonically_increasing_id, which is partitioning-dependent and would
-    break determinism across parallelism levels. Collisions at 10^12 docs are
-    ~1e-2-probable for a single pair under 64 bits, so keep conv_id alongside;
-    pair outputs always carry conv_ids."""
+    break determinism across parallelism levels. Birthday bound: expected
+    collisions ~ n^2/2^65 — ~0.03 at 10^9 docs but ~27,000 at 10^12 docs,
+    NOT negligible at the north-rule scale. run_dedup therefore detects
+    collisions (groupBy doc_id HAVING countDistinct(conv_id) > 1,
+    cfg.check_id_collisions) and fails loudly rather than silently merging
+    distinct conversations; conv_id is kept alongside everywhere."""
     return docs.withColumn("doc_id", F.xxhash64("conv_id"))

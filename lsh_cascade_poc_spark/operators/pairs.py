@@ -74,6 +74,29 @@ def survivors(pairs: DataFrame) -> DataFrame:
     )
 
 
+def tag_exact_duplicates(
+    docs_with_fp: DataFrame, fp_col: str = "fingerprint", id_col: str = "doc_id"
+) -> DataFrame:
+    """ONE window pass: adds ``_root`` = min id of the row's fingerprint
+    group. Materialize THIS table once, then split into representatives
+    (id == _root) and star edges (id != _root) with two cheap filters —
+    r1 ran the window twice by materializing reps and edges separately."""
+    w = Window.partitionBy(fp_col)
+    return docs_with_fp.withColumn("_root", F.min(id_col).over(w))
+
+
+def split_exact_duplicates(
+    tagged: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(representatives, star_edges) from a tag_exact_duplicates output."""
+    reps = tagged.filter(F.col(id_col) == F.col("_root")).drop("_root")
+    star = (
+        tagged.filter(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return reps, star
+
+
 def collapse_exact_duplicates(
     docs_with_fp: DataFrame, fp_col: str = "fingerprint", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:
@@ -87,27 +110,6 @@ def collapse_exact_duplicates(
     Near-dup relations are invariant under the collapse (identical text =>
     identical shingles => identical jaccard to any third doc), and connected
     components re-attaches members through the star edges."""
-    w = Window.partitionBy(fp_col)
-    with_root = docs_with_fp.withColumn("_root", F.min(id_col).over(w))
-    reps = with_root.filter(F.col(id_col) == F.col("_root")).drop("_root")
-    star = (
-        with_root.filter(F.col(id_col) != F.col("_root"))
-        .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
+    return split_exact_duplicates(
+        tag_exact_duplicates(docs_with_fp, fp_col, id_col), id_col
     )
-    return reps, star
-
-
-def exact_duplicate_pairs(docs_with_fp: DataFrame, fp_col: str = "fingerprint",
-                          id_col: str = "doc_id", group_cap: int = 10_000) -> DataFrame:
-    """Exact-duplicate pairs via fingerprint grouping — pairs each doc in a
-    fingerprint group with the group's minimum id instead of all-pairs
-    (star topology), so a boilerplate group of m docs costs m-1 edges, not
-    m^2/2. Connected components recovers the full cluster. `group_cap`
-    guards against pathological single-fingerprint floods."""
-    star = (
-        docs_with_fp.select(F.col(fp_col).alias("fp"), F.col(id_col).alias("doc_id"))
-        .withColumn("root", F.min("doc_id").over(Window.partitionBy("fp")))
-        .filter(F.col("doc_id") != F.col("root"))
-        .select(F.col("root").alias("id_a"), F.col("doc_id").alias("id_b"))
-    )
-    return star

@@ -37,14 +37,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_FP_SCHEMA = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("fp", T.LongType()),
-            T.StructField("pos", T.IntegerType()),
-        ]
-    )
+# two parallel arrays (not array<struct>): lets the kernel emit numpy arrays
+# straight through Arrow with no per-row Python dict materialization
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("fps", T.ArrayType(T.LongType())),
+        T.StructField("poss", T.ArrayType(T.IntegerType())),
+    ]
 )
+
+# rows per internal slice — bounds worker peak memory regardless of the
+# session Arrow batch size (see functions/signature_udf.py rationale)
+_CHUNK_ROWS = 1024
 
 # polynomial rolling hash over a 61-bit Mersenne prime field
 _ROLL_P = (1 << 61) - 1
@@ -96,32 +100,39 @@ def _winnow(grams: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def make_winnow_udf(k: int, w: int):
-    """pandas_udf: text -> array<struct<fp:long, pos:int>>. The k-gram
-    convolution runs ONCE over the batch's concatenated bytes (k vectorized
-    passes); only the cheap per-doc winnow loop remains Python-level."""
+    """pandas_udf: text -> struct<fps:array<long>, poss:array<int>>. The
+    k-gram convolution runs ONCE over the chunk's concatenated bytes (k
+    vectorized passes); only the cheap per-doc winnow loop remains
+    Python-level. Output cells are numpy arrays (zero Python-object blowup)."""
+
+    def _one_chunk(texts: list) -> pd.DataFrame:
+        encoded = [
+            (t.encode("utf-8", "replace") if t else b"") for t in texts
+        ]
+        lengths = np.fromiter((len(b) for b in encoded), dtype=np.int64,
+                              count=len(encoded))
+        flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        grams_flat = _kgram_hashes_flat(flat, k)
+        fps_out: list[np.ndarray] = []
+        pos_out: list[np.ndarray] = []
+        off = 0
+        for n_bytes in lengths:
+            m = n_bytes - k + 1
+            if m <= 0:
+                fps_out.append(np.empty(0, np.int64))
+                pos_out.append(np.empty(0, np.int32))
+            else:
+                fps, pos = _winnow(grams_flat[off : off + m].view(np.int64), w)
+                fps_out.append(fps)
+                pos_out.append(pos.astype(np.int32))
+            off += n_bytes
+        return pd.DataFrame({"fps": fps_out, "poss": pos_out})
+
     @F.pandas_udf(_FP_SCHEMA)
     def winnow_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
-            encoded = [
-                (t.encode("utf-8", "replace") if t else b"") for t in s
-            ]
-            lengths = np.fromiter((len(b) for b in encoded), dtype=np.int64,
-                                  count=len(encoded))
-            flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
-            grams_flat = _kgram_hashes_flat(flat, k)
-            out = []
-            off = 0
-            for n_bytes in lengths:
-                m = n_bytes - k + 1
-                if m <= 0:
-                    out.append([])
-                else:
-                    fps, pos = _winnow(grams_flat[off : off + m].view(np.int64), w)
-                    out.append(
-                        [{"fp": int(f), "pos": int(p)} for f, p in zip(fps, pos)]
-                    )
-                off += n_bytes
-            yield pd.Series(out)
+            for lo in range(0, len(s), _CHUNK_ROWS):
+                yield _one_chunk(s.iloc[lo : lo + _CHUNK_ROWS].tolist())
 
     return winnow_udf
 
@@ -131,8 +142,9 @@ def winnow_fingerprints(docs: DataFrame, k: int, w: int,
     """-> (doc_id, fp, pos) exploded fingerprint table."""
     udf = make_winnow_udf(k, w)
     return (
-        docs.select(F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("fps"))
-        .select("doc_id", F.explode("fps").alias("f"))
+        docs.select(F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("w"))
+        .select("doc_id", F.explode(F.arrays_zip(F.col("w.fps").alias("fp"),
+                                                 F.col("w.poss").alias("pos"))).alias("f"))
         .select("doc_id", F.col("f.fp").alias("fp"), F.col("f.pos").alias("pos"))
     )
 

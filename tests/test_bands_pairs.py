@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from lsh_cascade_poc_spark.operators.bands import cap_hot_bands, explode_bands
 from lsh_cascade_poc_spark.operators.pairs import (
-    exact_duplicate_pairs,
+    collapse_exact_duplicates,
     pairs_from_bands,
     pairs_with_min_match,
     survivors,
@@ -83,8 +83,8 @@ def test_survivors_and_exact_pairs(spark):
         [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "z")],
         "doc_id long, fingerprint string",
     )
-    ep = sorted(
-        (r.id_a, r.id_b) for r in exact_duplicate_pairs(docs).collect()
-    )
+    reps, star = collapse_exact_duplicates(docs)
+    ep = sorted((r.id_a, r.id_b) for r in star.collect())
     # star topology: every member pairs with the group min
     assert ep == [(1, 2), (1, 3)]
+    assert sorted(r.doc_id for r in reps.collect()) == [1, 4, 5]

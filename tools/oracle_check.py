@@ -25,12 +25,19 @@ def _value_hash(rows: list[tuple], colnames: list[str]) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def canon(v):
+        import decimal
+
         if v is None:
             return "∅"
         if isinstance(v, float):
             return f"{v:.9g}"
         if isinstance(v, bool):
             return str(int(v))
+        if isinstance(v, decimal.Decimal):
+            # DuckDB sum(int) is HUGEINT -> arrow decimal128; the driver's
+            # hasher distinguishes it from BIGINT, so we must too (r1 lesson:
+            # token_stats/sessionize/cube_events failed only driver-side)
+            return f"dec:{v}"
         return str(v)
 
     lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
@@ -69,7 +76,11 @@ def main() -> int:
         try:
             rel = con.sql(omap[name])
             ocols = rel.columns
-            orows = [tuple(r) for r in rel.fetchall()]
+            # fetch through Arrow so HUGEINT/DECIMAL survive as Decimal
+            # instead of being silently coerced to Python int by fetchall()
+            orows = [
+                tuple(d[c] for c in ocols) for d in rel.arrow().to_pylist()
+            ]
         except Exception as e:
             print(f"{name:26s} ORACLE SQL ERROR: {str(e)[:160]}")
             failures += 1

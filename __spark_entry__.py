@@ -511,6 +511,63 @@ def q_multiprobe_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_confidence_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: confidence-based multiprobe (reference query_with_multiprobe,
+    src/dflsh.py:199-262) on the signbit fingerprint, where the projection
+    of dim i IS embedding[i] (identity hyperplanes) so both engines share the
+    confidence arithmetic exactly. Query vec_id=13, 8 bands of 8 bits (narrow
+    bands so candidates exist on a 500-vector table): all 8 base band keys
+    plus the flipped key of the 2 lowest-|proj| bands; verified hamming <= 24."""
+    from lsh_cascade_poc_spark.embedding.confidence import explode_confidence_probes
+    from lsh_cascade_poc_spark.embedding.vector_hash import explode_lane_bands
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.expr(_SPARK_SIGNBIT)).alias("lanes"), "embedding"
+    )
+    doc_bands = explode_lane_bands(emb, "lanes", 64, band_bits=8).join(
+        emb.select("vec_id", F.element_at("lanes", 1).alias("h")), "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") == 13)
+    q_probes = explode_confidence_probes(
+        q, "lanes", "embedding", n_bits=64, band_bits=8, max_probes=2
+    ).join(q.select("vec_id", F.element_at("lanes", 1).alias("qh")), "vec_id") \
+        .select("band_id", "band_key", "qh")
+    return (
+        doc_bands.join(q_probes, ["band_id", "band_key"])
+        .filter(F.col("vec_id") != 13)
+        .withColumn("hamming", F.bit_count(F.col("h").bitwiseXOR(F.col("qh"))))
+        .filter(F.col("hamming") <= 24)
+        .select("vec_id", "hamming")
+        .distinct()
+    )
+
+
+def q_overlap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H18: literal Overlap(w=8, s=4) sliding-window segment index over the
+    signbit fingerprint (CASCADE_SEARCH_DESIGN.md:17-38, notebook 49) — 15
+    segments over 64 bits; candidates share ANY segment with query vec_id=11,
+    verified hamming <= 26."""
+    from lsh_cascade_poc_spark.embedding.vector_hash import explode_overlap_segments
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array(F.expr(_SPARK_SIGNBIT)).alias("lanes")
+    )
+    segs = explode_overlap_segments(emb, "lanes", n_bits=64, w=8, s=4).join(
+        emb.select("vec_id", F.element_at("lanes", 1).alias("h")), "vec_id"
+    )
+    q = segs.filter(F.col("vec_id") == 11).select(
+        "band_id", "band_key", F.col("h").alias("qh")
+    )
+    return (
+        segs.join(q, ["band_id", "band_key"])
+        .filter(F.col("vec_id") != 11)
+        .withColumn("hamming", F.bit_count(F.col("h").bitwiseXOR(F.col("qh"))))
+        .filter(F.col("hamming") <= 26)
+        .select("vec_id", "hamming")
+        .distinct()
+    )
+
+
 def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation over events (engine breadth; deterministic measures
     only — double sums are pre-quantized to integers)."""
@@ -640,7 +697,7 @@ def q_itq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsh_cascade_poc_spark.embedding.itq import fit_itq_on_dataframe, make_itq_udf
 
     emb = _read(spark, sf_dir, "embeddings")
-    model = fit_itq_on_dataframe(emb.orderBy("vec_id"), "embedding", 64, n_iter=25)
+    model = fit_itq_on_dataframe(emb, "embedding", 64, n_iter=25, order_col="vec_id")
     return emb.select(
         "vec_id", make_itq_udf(model)("embedding").alias("itq_lanes")
     ).select("vec_id", F.element_at("itq_lanes", 1).alias("itq_code"))
@@ -661,6 +718,31 @@ def q_e2lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = make_e2lsh_params(dim, k=4, n_tables=6, w=2.0, seed=42)
     buckets = emb.select("vec_id", make_e2lsh_udf(params)("embedding").alias("b"))
     return e2lsh_candidate_pairs(explode_e2lsh_buckets(buckets, "b"))
+
+
+def q_e2lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H13 in the Spark path: E2LSH bucket join where queries (vec_id < 5)
+    probe their base bucket PLUS 4 ±1 coordinate perturbations per table
+    (reference src/e2lsh.py:176-221,266-319). Rows-only; the recall-improves
+    assertion lives in tests/test_embedding.py."""
+    from lsh_cascade_poc_spark.embedding.e2lsh import (
+        e2lsh_query_candidates,
+        explode_e2lsh_buckets,
+        explode_e2lsh_probe_buckets,
+        make_e2lsh_params,
+        make_e2lsh_udf,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first().embedding)
+    params = make_e2lsh_params(dim, k=4, n_tables=6, w=2.0, seed=42)
+    buckets = emb.select("vec_id", make_e2lsh_udf(params)("embedding").alias("b"))
+    buckets = buckets.localCheckpoint(eager=True)
+    doc_b = explode_e2lsh_buckets(buckets, "b")
+    q_probes = explode_e2lsh_probe_buckets(
+        buckets.filter(F.col("vec_id") < 5), "b", k=4, n_probes=4
+    )
+    return e2lsh_query_candidates(doc_b, q_probes)
 
 
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_eval": q_recall_eval,
         "sessionize": q_sessionize,
         "multiprobe_hamming": q_multiprobe_hamming,
+        "confidence_multiprobe": q_confidence_multiprobe,
+        "overlap_segments": q_overlap_segments,
         "cube_events": q_cube_events,
         "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -725,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cascade_topk": q_ann_cascade_topk,
         "itq_codes": q_itq_codes,
         "e2lsh_pairs": q_e2lsh_pairs,
+        "e2lsh_multiprobe": q_e2lsh_multiprobe,
         "media_dedup": q_media_dedup,
     }
 
@@ -1045,6 +1130,59 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT d.vec_id, bit_count(xor(d.h, p.qh)) AS hamming
       FROM bands d JOIN probes p ON d.band_id = p.band_id AND d.band_key = p.band_key
       WHERE d.vec_id <> 7 AND bit_count(xor(d.h, p.qh)) <= 24
+    """
+
+    sql["confidence_multiprobe"] = f"""
+      WITH sig AS (SELECT vec_id, {_DUCK_SIGNBIT} AS h, embedding FROM embeddings),
+      bands AS (
+        SELECT vec_id, h, b.band_id,
+               CAST(((h::HUGEINT + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)
+                     >> (b.band_id * 8)) & 255 AS BIGINT) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, 7)) AS band_id) b
+      ),
+      qbands AS (
+        -- per-band confidence = sequential-fold sum of |embedding| over the
+        -- band's 8 dims (identity hyperplanes => projection_i = embedding_i);
+        -- flip_bit = first-minimum |embedding| index within the band
+        SELECT bd.band_id, bd.band_key, bd.h AS qh,
+               list_reduce(list_transform(generate_series(1, 8),
+                   j -> CAST(abs(s.embedding[bd.band_id * 8 + j]) AS DOUBLE)),
+                 (x, y) -> x + y) AS conf,
+               (list_position(
+                  list_transform(generate_series(1, 8),
+                      j -> abs(s.embedding[bd.band_id * 8 + j])),
+                  list_min(list_transform(generate_series(1, 8),
+                      j -> abs(s.embedding[bd.band_id * 8 + j])))) - 1) AS flip_bit
+        FROM bands bd JOIN sig s USING (vec_id)
+        WHERE bd.vec_id = 13
+      ),
+      flips AS (
+        SELECT band_id, xor(band_key, 1::BIGINT << flip_bit) AS band_key, qh
+        FROM qbands ORDER BY conf, band_id LIMIT 2
+      ),
+      probes AS (
+        SELECT band_id, band_key, qh FROM qbands
+        UNION ALL SELECT band_id, band_key, qh FROM flips
+      )
+      SELECT DISTINCT d.vec_id, bit_count(xor(d.h, p.qh)) AS hamming
+      FROM bands d JOIN probes p ON d.band_id = p.band_id AND d.band_key = p.band_key
+      WHERE d.vec_id <> 13 AND bit_count(xor(d.h, p.qh)) <= 24
+    """
+
+    sql["overlap_segments"] = f"""
+      WITH sig AS (SELECT vec_id, {_DUCK_SIGNBIT} AS h FROM embeddings),
+      segs AS (
+        -- Overlap(8,4): 15 sliding 8-bit windows at 4-bit stride over the
+        -- 64-bit fingerprint (unsigned shift via the HUGEINT lift)
+        SELECT vec_id, h, s.band_id,
+               CAST(((h::HUGEINT + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)
+                     >> (s.band_id * 4)) & 255 AS BIGINT) AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, 14)) AS band_id) s
+      ),
+      q AS (SELECT band_id, band_key, h AS qh FROM segs WHERE vec_id = 11)
+      SELECT DISTINCT d.vec_id, bit_count(xor(d.h, q.qh)) AS hamming
+      FROM segs d JOIN q ON d.band_id = q.band_id AND d.band_key = q.band_key
+      WHERE d.vec_id <> 11 AND bit_count(xor(d.h, q.qh)) <= 26
     """
 
     sql["cube_events"] = """

@@ -29,7 +29,13 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_TURNS_BASE = int(os.environ.get("BENCH_N_BASE", "250000"))
+# ~40k base convs -> ~385k turns / ~64k docs. r1 used 250k base (~2.4M turns)
+# and blew the driver budget: 4 cascade runs (warm+cold x two parallelism
+# levels) never finished. Sized so per-run compute dominates the fixed
+# driver/scheduling constant (the scaling-efficiency comparison is
+# meaningless when wall is all constant) while the whole bench lands in
+# ~10 minutes; raise BENCH_N_BASE for ad-hoc larger runs.
+BENCH_TURNS_BASE = int(os.environ.get("BENCH_N_BASE", "40000"))
 CACHE_DIR = os.path.join(REPO, ".bench_cache")
 
 # operator queries benched at the sf dir (cheap/medium ones; the quadratic
@@ -74,10 +80,15 @@ def _ensure_corpus(spark) -> str:
 def _mk_spark(cores: int):
     from lsh_cascade_poc_spark.session import get_spark
 
+    # IDENTICAL shuffle partitioning at BOTH parallelism levels (keyed to the
+    # hi level): the north rule's N->4N comparison varies EXECUTORS ONLY — a
+    # real job's partitioning is fixed by the data, not re-tuned per cluster
+    # size. Giving the lo level 4x-fewer/4x-bigger tasks would hand it a
+    # per-task-overhead discount and corrupt the efficiency ratio.
     return get_spark(
         app_name=f"bench_{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(8, cores * 2),
+        shuffle_partitions=max(8, CPUS * 2),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
@@ -101,15 +112,18 @@ def _run_pipeline(spark, turns_path: str, warmup: bool = True) -> tuple[float, f
     cfg = DedupConfig()
 
     def once() -> tuple[float, int]:
+        import gc
+
         t0 = time.perf_counter()
         res = run_dedup(spark, turns, cfg=cfg, enable_overlap_stage=True)
         n_clusters = res.clusters.select("cluster_id").distinct().count()
         wall = time.perf_counter() - t0
-        for df in (res.docs, res.signatures, res.dup_pairs, res.clusters):
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+        # drop Python refs so ContextCleaner can release localCheckpoint
+        # blocks; do NOT System.gc() — full GC uncommits G1 regions and
+        # re-faulting them costs more than the blocks (run_dedup already
+        # unpersists its heavy intermediates explicitly)
+        del res
+        gc.collect()
         return wall, n_clusters
 
     cold_wall, n_clusters = once()
@@ -118,6 +132,22 @@ def _run_pipeline(spark, turns_path: str, warmup: bool = True) -> tuple[float, f
         warm_wall, n_clusters2 = once()
         assert n_clusters2 == n_clusters, "pipeline nondeterministic across runs"
     return warm_wall, cold_wall, n_turns, n_clusters
+
+
+def _emit(results: dict, n_turns: int, extra: dict) -> None:
+    """Print ONE complete JSON line. Called after the hi-cores session AND at
+    the end: a driver timeout mid-bench still leaves a parseable line (the
+    driver reads the LAST parseable line; r1's rc=124 left parsed=null)."""
+    out = {
+        "metric": "dedup_cascade_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": dict(results),
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_turns": n_turns,
+    }
+    out.update(extra)
+    print(json.dumps(out), flush=True)
 
 
 def main() -> None:
@@ -143,6 +173,14 @@ def main() -> None:
     results["dedup_pipeline_cold"] = round(cold_hi, 3)
     spark.stop()
 
+    thr_hi = n_turns / wall_hi
+    _emit(results, n_turns, {
+        "n_clusters": n_clusters_hi,
+        "turns_per_sec_hi": round(thr_hi, 1),
+        "cores_hi": CPUS,
+        "partial": True,  # lo-cores scaling run still pending
+    })
+
     # scaling evidence: identical job at quarter parallelism
     lo_cores = max(2, CPUS // 4)
     spark_lo = _mk_spark(lo_cores)
@@ -155,25 +193,16 @@ def main() -> None:
         f"cluster count differs across parallelism: {n_clusters_hi} vs {n_clusters_lo}"
     )
 
-    thr_hi = n_turns / wall_hi
     thr_lo = n_turns / wall_lo
     efficiency = (thr_hi / thr_lo) / (CPUS / lo_cores)
-
-    out = {
-        "metric": "dedup_cascade_total",
-        "value": round(sum(results.values()), 3),
-        "unit": "sec",
-        "queries": results,
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "n_turns": n_turns,
+    _emit(results, n_turns, {
         "n_clusters": n_clusters_hi,
         "turns_per_sec_hi": round(thr_hi, 1),
         "turns_per_sec_lo": round(thr_lo, 1),
         "cores_hi": CPUS,
         "cores_lo": lo_cores,
         "scaling_efficiency": round(efficiency, 3),
-    }
-    print(json.dumps(out))
+    })
 
 
 if __name__ == "__main__":

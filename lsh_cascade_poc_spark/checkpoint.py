@@ -101,6 +101,16 @@ class StageStore:
             return self.spark.createDataFrame([], METRICS_SCHEMA)
         return self.spark.read.parquet(path)
 
+    def stage_size_bytes(self, stage: str) -> int:
+        """On-disk footprint of a committed stage (A6 index-stats analog of
+        the reference's embeddings/hashes_memory_mb, src/cascade_search.py:292-299)."""
+        total = 0
+        for root, _dirs, files in os.walk(self._stage_path(stage)):
+            for f in files:
+                if not f.startswith("_"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
     def partition_lineage(self, stage: str) -> DataFrame:
         """Per-partition (file-level) lineage of a committed stage: one row
         per output file with its row count — derived from Parquet metadata

@@ -95,6 +95,63 @@ def e2lsh_candidate_pairs(bucket_table: DataFrame, id_col: str = "vec_id") -> Da
     )
 
 
+def _probe_deltas(k: int, n_probes: int) -> list[tuple[int, int]]:
+    """(delta, coord) perturbation order shared by the numpy reference and the
+    Spark probe expansion: +1 over coords 0..k-1, then -1, capped."""
+    out: list[tuple[int, int]] = []
+    for delta in (1, -1):
+        for i in range(k):
+            if len(out) >= n_probes:
+                return out
+            out.append((delta, i))
+    return out
+
+
+def explode_e2lsh_probe_buckets(
+    df: DataFrame, buckets_col: str, k: int, n_probes: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """H13 query-side multiprobe: -> (id, table_id, bucket_key) where each
+    table contributes its base bucket PLUS `n_probes` ±1 coordinate
+    perturbations (multiprobe_buckets_numpy order — reference
+    src/e2lsh.py:176-221, wired into the bucket join like query :266-319).
+    Probing is query-side only; the doc index stays explode_e2lsh_buckets."""
+    tbl = df.select(
+        F.col(id_col), F.posexplode(F.col(buckets_col)).alias("table_id", "bucket")
+    )
+    def _perturb(delta: int, coord: int):
+        # factory closure: pyspark inspects the lambda's arity, so the
+        # captured (delta, coord) must not appear as parameters
+        return F.transform(
+            "bucket", lambda x, i: F.when(i == coord, x + delta).otherwise(x)
+        )
+
+    variants = [F.col("bucket")]
+    for delta, coord in _probe_deltas(k, n_probes):
+        variants.append(_perturb(delta, coord))
+    return (
+        tbl.select(id_col, "table_id", F.explode(F.array(*variants)).alias("bucket"))
+        .select(
+            F.col(id_col), "table_id",
+            F.xxhash64("table_id", "bucket").alias("bucket_key"),
+        )
+        .distinct()
+    )
+
+
+def e2lsh_query_candidates(
+    doc_buckets: DataFrame, query_probes: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """F3+H13: docs sharing any probed (table, bucket) with a query ->
+    distinct (query_id, doc_id). Query side is broadcast (bounded probes)."""
+    q = query_probes.withColumnRenamed(id_col, "query_id")
+    return (
+        doc_buckets.join(F.broadcast(q), ["table_id", "bucket_key"])
+        .select("query_id", F.col(id_col).alias("doc_id"))
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .distinct()
+    )
+
+
 def multiprobe_buckets_numpy(bucket: np.ndarray, n_probes: int) -> list[np.ndarray]:
     """H13: ±1 perturbations of a (k,) bucket tuple, nearest-first (one
     coordinate at a time), capped at n_probes (excluding the base bucket)."""
@@ -108,6 +165,17 @@ def multiprobe_buckets_numpy(bucket: np.ndarray, n_probes: int) -> list[np.ndarr
             if len(probes) >= n_probes:
                 return probes
     return probes
+
+
+def save_e2lsh_params(params: E2LSHParams, path: str) -> None:
+    """S10 analog for E2LSH (reference persists its tables via the DFLSH
+    save path, src/dflsh.py:264-289)."""
+    np.savez(path, a=params.a, b=params.b, w=np.float64(params.w))
+
+
+def load_e2lsh_params(path: str) -> E2LSHParams:
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    return E2LSHParams(a=z["a"], b=z["b"], w=float(z["w"]))
 
 
 def e2lsh_collision_prob(dist: float, w: float) -> float:

@@ -82,13 +82,43 @@ def codes_to_lanes(codes: np.ndarray) -> np.ndarray:
 def fit_itq_on_dataframe(
     df: DataFrame, vec_col: str, n_bits: int,
     sample_rows: int = 10_000, n_iter: int = 50, seed: int = 42,
+    order_col: str | None = None,
 ) -> ITQModel:
-    """Bounded driver-side fit: deterministic sample (sort by id hash) of at
-    most `sample_rows` vectors."""
-    frac_df = df.select(vec_col).limit(sample_rows)
+    """Bounded driver-side fit on a DETERMINISTIC sample: rows are ordered by
+    `order_col` (or by xxhash64 of the vector itself — a partition-independent
+    pseudo-random but stable order) before the limit, so the fitted model is
+    identical across partitionings/parallelism levels (r1 used a bare limit,
+    which is partitioning-dependent)."""
+    key = F.col(order_col) if order_col else F.xxhash64(F.col(vec_col))
+    frac_df = df.select(F.col(vec_col), key.alias("_ord")) \
+        .orderBy("_ord").limit(sample_rows).select(vec_col)
     pdf = frac_df.toPandas()
     x = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
     return itq_fit(x, n_bits, n_iter=n_iter, seed=seed)
+
+
+# --- S10: model persistence (save/load) --------------------------------------
+# Reference analogs: ITQLSH.save/load (/root/reference/src/itq_lsh.py:204-237),
+# EmbeddingWhitener save/load (/root/reference/src/whitening.py:115-140),
+# DFLSH save/load (/root/reference/src/dflsh.py:264-289). npz keeps exact
+# float32 blobs, so a loaded model emits bit-identical codes.
+
+def save_itq_model(model: ITQModel, path: str) -> None:
+    np.savez(path, mean=model.mean, pca=model.pca, rotation=model.rotation)
+
+
+def load_itq_model(path: str) -> ITQModel:
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    return ITQModel(mean=z["mean"], pca=z["pca"], rotation=z["rotation"])
+
+
+def save_whiten_model(model: "WhitenModel", path: str) -> None:
+    np.savez(path, mean=model.mean, w=model.w)
+
+
+def load_whiten_model(path: str) -> "WhitenModel":
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    return WhitenModel(mean=z["mean"], w=z["w"])
 
 
 def make_itq_udf(model: ITQModel):

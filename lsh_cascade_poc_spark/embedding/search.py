@@ -189,6 +189,37 @@ def pivot_filter(
     return docs_with_pd.filter(cond)
 
 
+def combined_band_pivot_candidates(
+    doc_bands: DataFrame,
+    query_bands: DataFrame,
+    docs_with_pd: DataFrame,
+    queries_with_pd: DataFrame,
+    n_pivots: int,
+    threshold: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage filter composition (reference combined_band_pivot_filter,
+    src/dflsh.py:460-519): Stage 1 band equi-join candidates (the query band
+    table may already be a confidence-multiprobe expansion — composition is
+    free because both are (id, band_id, band_key) relations); Stage 2 pivot
+    triangle-inequality prune on the candidate pairs only. Set-oriented: one
+    plan for the whole query batch."""
+    cands = band_candidates(doc_bands, query_bands)
+    qd = queries_with_pd.select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"pd_{i}").alias(f"qpd_{i}") for i in range(n_pivots)],
+    )
+    dd = docs_with_pd.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(f"pd_{i}") for i in range(n_pivots)],
+    )
+    joined = cands.join(F.broadcast(qd), "query_id").join(dd, "doc_id")
+    cond = F.lit(True)
+    for i in range(n_pivots):
+        cond = cond & (F.abs(F.col(f"pd_{i}") - F.col(f"qpd_{i}")) <= threshold)
+    return joined.filter(cond).select("query_id", "doc_id")
+
+
 # --- evaluation (A1) ---------------------------------------------------------
 
 def recall_at_k(predicted: DataFrame, ground_truth: DataFrame, k: int) -> float:

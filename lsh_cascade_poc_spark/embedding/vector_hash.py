@@ -92,6 +92,40 @@ def explode_lane_bands(df, lanes_col: str, n_bits: int, band_bits: int,
     )
 
 
+def overlap_segment_key(lanes: Column, seg_idx: int, w: int, s: int) -> Column:
+    """H18: segment `seg_idx` of the Overlap(w, s) family — the w-bit window
+    starting at bit seg_idx*s of the lane-packed fingerprint (reference
+    CASCADE_SEARCH_DESIGN.md:17-38: 8-bit windows, 4-bit stride, 31 segments
+    over 128 bits; notebook 49). Windows may straddle a 64-bit lane boundary;
+    all shifts are static per segment so this stays whole-stage codegen."""
+    start = seg_idx * s
+    lane, lo = start // 64, start % 64
+    mask = (1 << w) - 1
+    v = F.shiftrightunsigned(F.element_at(lanes, lane + 1), lo)
+    if lo + w > 64:
+        # straddle: low bits of the next lane shifted up (lo >= 1 here since
+        # w <= 64, so the shift amount 64-lo is a valid 1..63)
+        v = v.bitwiseOR(F.shiftleft(F.element_at(lanes, lane + 2), 64 - lo))
+    return v.bitwiseAND(F.lit(mask))
+
+
+def explode_overlap_segments(
+    df, lanes_col: str, n_bits: int, w: int, s: int, id_col: str = "vec_id"
+):
+    """-> (id, band_id, band_key): the segment-index side table
+    (CASCADE_SEARCH_DESIGN.md:57-66) as an exploded relation; OR-semantics
+    candidate lookup is the same band equi-join as every other tier."""
+    n_segs = (n_bits - w) // s + 1
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                overlap_segment_key(F.col(lanes_col), i, w, s) for i in range(n_segs)
+            ])
+        ).alias("band_id", "band_key"),
+    )
+
+
 def multiprobe_band_keys(key: Column, band_bits: int, max_flips: int = 1) -> Column:
     """H8: probe keys = the key plus all single-bit flips (and the key
     itself first). Returns array<long>; explode before the band join."""

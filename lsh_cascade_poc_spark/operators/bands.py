@@ -63,6 +63,22 @@ def explode_bands(
     )
 
 
+def band_index_stats(bands: DataFrame) -> DataFrame:
+    """A6: one-row stats of a band/segment index — row count, distinct
+    buckets, max/mean bucket size (the reference's get_stats +
+    query_with_stats counters, src/cascade_search.py:292-299,
+    src/e2lsh.py:321-369, as ONE aggregate instead of per-query dicts)."""
+    per_bucket = bands.groupBy("tier", "band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_bucket.agg(
+        F.sum("n_docs").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n_docs").alias("max_bucket"),
+        F.avg("n_docs").alias("mean_bucket"),
+    )
+
+
 def cap_hot_bands(
     bands: DataFrame, cap: int
 ) -> tuple[DataFrame, DataFrame]:

@@ -186,11 +186,10 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
     return out
 
 
-def _extend_match(ta: str, tb: str, pa: int, pb: int, k: int) -> int:
-    """Greedily extend an exact k-gram seed match left and right; returns the
-    maximal common substring length around the seed (0 if the seed bytes
-    don't actually match — hash collision)."""
-    ba, bb = ta.encode("utf-8", "replace"), tb.encode("utf-8", "replace")
+def _extend_match(ba: bytes, bb: bytes, pa: int, pb: int, k: int) -> int:
+    """Greedily extend an exact k-gram seed match left and right over utf-8
+    BYTES; returns the maximal common substring length around the seed (0 if
+    the seed bytes don't actually match — hash collision)."""
     if ba[pa : pa + k] != bb[pb : pb + k]:
         return 0
     lo_a, lo_b = pa, pb
@@ -213,8 +212,13 @@ def verify_overlaps(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact verification: join texts onto seed pairs, extend seeds inside a
-    mapInPandas batch kernel -> (id_a, id_b, overlap_chars) for survivors."""
-    docs_sel = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+    mapInPandas batch kernel -> (id_a, id_b, overlap_chars) for survivors.
+    Texts are utf-8-encoded JVM-SIDE (F.encode) so the Python kernel touches
+    ready bytes — no per-row str->bytes encode of multi-KB documents."""
+    docs_sel = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("t"),
+    )
     sided = (
         candidates.join(docs_sel.withColumnsRenamed({"doc_id": "id_a", "t": "text_a"}), "id_a")
         .join(docs_sel.withColumnsRenamed({"doc_id": "id_b", "t": "text_b"}), "id_b")

@@ -48,6 +48,7 @@ def verify_pairs_exact_jaccard(
     estimate_margin: float | None = 0.1,
     shingles_col: str = "shingles",
     minhash_col: str = "minhash",
+    shingle_provider=None,
 ) -> DataFrame:
     """-> dup_pairs(id_a, id_b, jaccard), verified in three widening joins so
     the wide shingle arrays shuffle only for near-final survivors (the
@@ -63,10 +64,21 @@ def verify_pairs_exact_jaccard(
       3. exact Jaccard on shingle sets (wide join) >= t.
 
     Set estimate_margin=None to skip stage 2.
+
+    `shingle_provider` (store_shingles=False mode): a callable mapping a
+    (doc_id) DataFrame of stage-1/2 SURVIVOR ids to (doc_id, shingles) — the
+    signature table then needs only the slim `n_shingles` int column, and the
+    wide shingle arrays exist transiently for the pruned pair set (at 10^12
+    docs the persistent signature table must not carry a corpus of shingles).
     """
-    sizes = signatures.select(
-        F.col("doc_id"), F.size(shingles_col).alias("n_sh")
-    )
+    if shingles_col in signatures.columns:
+        sizes = signatures.select(
+            F.col("doc_id"), F.size(shingles_col).alias("n_sh")
+        )
+    else:
+        sizes = signatures.select(
+            F.col("doc_id"), F.col("n_shingles").alias("n_sh")
+        )
     p = (
         pairs.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"}), "id_b")
@@ -89,7 +101,16 @@ def verify_pairs_exact_jaccard(
             .select("id_a", "id_b")
         )
 
-    sided = attach_pair_sides(p, signatures, [shingles_col])
+    if shingle_provider is not None:
+        ids = (
+            p.select(F.col("id_a").alias("doc_id"))
+            .unionAll(p.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        shingle_src = shingle_provider(ids)
+    else:
+        shingle_src = signatures.select("doc_id", shingles_col)
+    sided = attach_pair_sides(p, shingle_src, [shingles_col])
     jac = jaccard_on_shingle_arrays(
         F.col(f"{shingles_col}_a"), F.col(f"{shingles_col}_b")
     )

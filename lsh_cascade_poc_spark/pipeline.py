@@ -62,7 +62,7 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
     # doc_text deliberately NOT carried: signatures are checkpointed and
     # re-joined repeatedly; the raw text stays in the docs table only
-    return docs.select(
+    out = docs.select(
         "conv_id",
         "doc_id",
         fingerprint_md5(F.col("doc_text")).alias("fingerprint"),
@@ -72,15 +72,26 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
         "doc_id",
         "fingerprint",
         F.col("_sig.shingles").alias("shingles"),
+        F.size("_sig.shingles").alias("n_shingles"),
         F.col("_sig.minhash").alias("minhash"),
         F.col("_sig.simhash").alias("simhash"),
     )
+    if not cfg.store_shingles:
+        # 100TB-scale mode: the persistent signature table carries only the
+        # shingle COUNT; verify re-shingles survivor docs from text
+        out = out.drop("shingles")
+    return out
 
 
 def minhash_candidate_pairs(
-    signatures: DataFrame, cfg: DedupConfig
+    signatures: DataFrame, cfg: DedupConfig,
+    persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Tiers 0+1 of the banding cascade -> (candidate pairs, hot-band stats)."""
+    """Tiers 0+1 of the banding cascade -> (candidate pairs, hot-band stats).
+    Persisted intermediates are appended to `persist_registry` so the caller
+    can unpersist them once downstream stages are materialized (leaked
+    persists accumulate block-manager memory across repeated runs — measured
+    as a 7x warm-run slowdown on this VM's ballooned memory)."""
     # tier 0: coarse, whole corpus
     coarse = explode_bands(
         signatures, "minhash", tier=0,
@@ -90,6 +101,8 @@ def minhash_candidate_pairs(
     # persisted: referenced by the survivor gate AND the final AND-join —
     # without it the band self-join recomputes once per consumer
     coarse_pairs = pairs_from_bands(coarse_kept, cfg.pair_repartition).persist()
+    if persist_registry is not None:
+        persist_registry.append(coarse_pairs)
 
     # tier 1: tight bands computed only for tier-0 survivors (cascade gate);
     # min-match counting prunes candidates (src/dflsh.py:187-197 analog)
@@ -217,10 +230,11 @@ def run_dedup(
     # representative per distinct text; members re-attach via star edges in
     # the clustering stage. ONE window pass, materialized once; reps and star
     # edges are cheap filters over the tagged checkpoint.
+    persists: list = []
     sig_tagged = stage("signatures_tagged", lambda: tag_exact_duplicates(signatures))
     sig_reps, star_edges = split_exact_duplicates(sig_tagged)
     exact_pairs = star_edges.withColumn("source", F.lit("exact"))
-    mh_pairs_lazy, mh_hot = minhash_candidate_pairs(sig_reps, cfg)
+    mh_pairs_lazy, mh_hot = minhash_candidate_pairs(sig_reps, cfg, persists)
     mh_pairs = stage(
         "pairs_minhash", lambda: mh_pairs_lazy.withColumn("source", F.lit("minhash"))
     )
@@ -229,10 +243,11 @@ def run_dedup(
         "pairs_simhash", lambda: sh_pairs_lazy.withColumn("source", F.lit("simhash"))
     )
     # A5/ADVICE: dropped hot buckets are recorded, not silent — their own
-    # stage row (count + per-bucket sizes) in the metrics/checkpoint store
-    hot_stats = stage(
-        "hot_band_drops", lambda: mh_hot.unionByName(sh_hot)
-    )
+    # stage row (count + per-bucket sizes) in the metrics/checkpoint store.
+    # Only materialized when a store is recording (the re-aggregation costs a
+    # full pass over the band table; ephemeral runs skip it).
+    if store is not None:
+        stage("hot_band_drops", lambda: mh_hot.unionByName(sh_hot))
     sources = [exact_pairs, mh_pairs, sh_pairs]
     if enable_overlap_stage:
         docs_reps = docs.join(sig_reps.select("doc_id"), "doc_id", "left_semi")
@@ -252,6 +267,7 @@ def run_dedup(
     cand_dedup = (
         all_cands.groupBy("id_a", "id_b").agg(F.collect_set("source").alias("sources"))
     ).persist()
+    persists.append(cand_dedup)
 
     def _verify():
         # exact pairs are definitionally jaccard 1.0 — skip their verify join;
@@ -260,12 +276,23 @@ def run_dedup(
         # below threshold and be kept ONLY as overlap evidence -> keep them).
         is_exact = F.array_contains("sources", "exact")
         non_exact = cand_dedup.filter(~is_exact)
+        shingle_provider = None
+        if not cfg.store_shingles:
+            from .functions.signature_udf import make_shingles_udf
+
+            sh_udf = make_shingles_udf(cfg.shingle_k)
+            shingle_provider = lambda ids: (  # noqa: E731
+                docs.join(ids, "doc_id", "left_semi")
+                .select("doc_id", sh_udf("doc_text").alias("shingles"))
+            )
         # persisted: consumed by both the union and the overlap anti-join
         verified = verify_pairs_exact_jaccard(
             non_exact.select("id_a", "id_b"),
             sig_reps,
             threshold=cfg.jaccard_threshold,
+            shingle_provider=shingle_provider,
         ).persist()
+        persists.append(verified)
         exact = (
             cand_dedup.filter(is_exact)
             .select("id_a", "id_b")
@@ -281,7 +308,14 @@ def run_dedup(
             .groupBy("id_a", "id_b").agg(F.max("jaccard").alias("jaccard"))
 
     dup_pairs = stage("dup_pairs", _verify)
-    _ = hot_stats  # materialized above for observability; not consumed further
+    # dup_pairs is materialized: every persisted intermediate is now dead
+    # weight in the block manager — release eagerly (repeat runs in one
+    # session otherwise accumulate GBs and trigger this VM's balloon refaults)
+    for df in persists:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
     # overlap-evidence-only pairs (jaccard = -1) are excluded from clustering
     # unless cluster_on_overlap is set (see config.py rationale)

@@ -34,12 +34,26 @@ def has_iceberg(spark: SparkSession) -> bool:
         return False
 
 
+def _tune_worker_malloc() -> None:
+    """Make Python-worker numpy allocations REUSE memory instead of
+    mmap/munmap-ing per batch. glibc mmaps allocations over ~128KB and
+    returns them to the OS on free, so every Arrow batch's numpy temporaries
+    are fresh pages — on hosts with slow first-touch (ballooned VMs; this
+    sandbox serializes faults at ~6MB/s) that dominates the whole pipeline
+    and ANTI-scales with worker count (32 workers fault 4x the pages of 8).
+    Raising the mmap threshold and disabling trim keeps freed memory in the
+    worker's heap for reuse. Must run BEFORE the JVM (workers' parent) spawns."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
+
 def get_spark(
     app_name: str = "lsh_cascade_poc_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _tune_worker_malloc()
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
@@ -59,12 +73,24 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2048 (not the 10000 default): multi-KB documents make 10k-row Arrow
+        # batches ~40MB+; with 32 concurrent workers the transient allocations
+        # overwhelm this host's serialized fault handler (UDF kernels ALSO
+        # re-chunk internally — see functions/signature_udf.py)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # a crashed Python worker should leave a traceback, not a bare
         # "exited unexpectedly" (r1's bench died blind in stage 262)
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        # do NOT force frequent JVM GC (periodicGC / System.gc()): G1 full
+        # collections UNCOMMIT heap regions, and re-faulting them is the
+        # expensive thing on this host. Block hygiene is explicit unpersist
+        # (pipeline.py persist_registry), not GC pressure.
+        # keep the G1 heap at its high-water mark — uncommitted regions would
+        # be re-faulted at ~6MB/s on this host
+        .config("spark.driver.extraJavaOptions",
+                "-XX:MaxHeapFreeRatio=100 -XX:MinHeapFreeRatio=20")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -50,9 +50,25 @@ class IncrementalDedup:
 
     def _exists(self, name: str) -> bool:
         p = self._path(name)
-        return os.path.exists(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        ) if os.path.exists(p) else False
+        if not os.path.exists(p):
+            return False
+        for _root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _read_table(self, name: str) -> DataFrame:
+        """Read a batch-partitioned index table, dropping the discovery
+        column. Only COMMITTED batches are visible: a replayed batch
+        overwrites its own subdirectory, so a crash between appends can never
+        leave duplicate rows behind (idempotency is per-directory, not
+        per-append)."""
+        return self.spark.read.parquet(self._path(name)).drop("batch_id")
+
+    def _write_batch(self, df: DataFrame, name: str, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(self._path(name), f"batch_id={batch_id}")
+        )
 
     def _bands_of(self, signatures: DataFrame) -> DataFrame:
         cfg = self.cfg
@@ -78,8 +94,8 @@ class IncrementalDedup:
         new_bands = self._bands_of(sigs)
 
         if self._exists("bands"):
-            idx_bands = spark.read.parquet(self._path("bands"))
-            idx_sigs = spark.read.parquet(self._path("signatures"))
+            idx_bands = self._read_table("bands")
+            idx_sigs = self._read_table("signatures")
             # probe: new docs vs existing index (plus new-vs-new self-join)
             probe = new_bands.select(
                 "tier", "band_id", "band_key", F.col("doc_id").alias("id_new")
@@ -119,10 +135,19 @@ class IncrementalDedup:
         dup = verify_pairs_exact_jaccard(
             cands, all_sigs, threshold=cfg.jaccard_threshold
         )
+        # materialize BEFORE touching the index dirs: dup's lazy plan reads
+        # the existing bands/signatures batches, and a replay OVERWRITES this
+        # batch's own subdirectories below — writing dup lazily after that
+        # would read deleted files
+        dup = dup.localCheckpoint(eager=True)
 
-        sigs.write.mode("append").parquet(self._path("signatures"))
-        new_bands.write.mode("append").parquet(self._path("bands"))
-        dup.write.mode("append").parquet(self._path("dup_pairs"))
+        # batch-scoped subdirectories + overwrite: a crash between the three
+        # writes is healed by the replay overwriting the SAME directories, so
+        # the done-marker is a true commit point (ADVICE r1: plain appends
+        # made replays duplicate rows)
+        self._write_batch(sigs, "signatures", batch_id)
+        self._write_batch(new_bands, "bands", batch_id)
+        self._write_batch(dup, "dup_pairs", batch_id)
         with open(done_marker, "w") as f:
             f.write("ok")
 
@@ -142,7 +167,7 @@ class IncrementalDedup:
         return writer.start()
 
     def dup_pairs(self) -> DataFrame:
-        return self.spark.read.parquet(self._path("dup_pairs"))
+        return self._read_table("dup_pairs")
 
     def signatures(self) -> DataFrame:
-        return self.spark.read.parquet(self._path("signatures"))
+        return self._read_table("signatures")

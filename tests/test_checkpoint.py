@@ -68,4 +68,30 @@ def test_pipeline_resume(spark, tiny_turns, tmp_path):
     assert c1 == c2
 
     stages = {r.stage for r in store2.metrics().collect()}
-    assert {"docs", "signatures", "dup_pairs", "clusters"} <= stages
+    # A5: every cascade tier leaves a reduction-observable metric row —
+    # candidate counts per tier AND the dropped hot-band stats
+    assert {
+        "docs", "signatures", "signatures_tagged", "pairs_minhash",
+        "pairs_simhash", "hot_band_drops", "dup_pairs", "clusters",
+    } <= stages
+
+    # rows_out per stage is the per-tier reduction metric: metrics rows are
+    # queryable as a DataFrame (north rule: per-partition lineage + metrics)
+    by_stage = {r.stage: r.rows_out for r in store2.metrics().collect()}
+    assert all(v >= 0 for v in by_stage.values())
+    assert by_stage["signatures"] == by_stage["docs"]
+
+def test_band_index_stats_and_stage_size(spark, store):
+    """A6: band-index statistics + on-disk stage footprint."""
+    from lsh_cascade_poc_spark.operators.bands import band_index_stats
+
+    bands = spark.createDataFrame(
+        [(0, 0, 10, 1), (0, 0, 10, 2), (0, 0, 10, 3), (0, 1, 99, 1)],
+        "tier int, band_id int, band_key long, doc_id long",
+    )
+    s = band_index_stats(bands).collect()[0]
+    assert s.n_rows == 4 and s.n_buckets == 2
+    assert s.max_bucket == 3 and abs(s.mean_bucket - 2.0) < 1e-9
+
+    store.materialize("sized", lambda: spark.range(1000))
+    assert store.stage_size_bytes("sized") > 0

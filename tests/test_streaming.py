@@ -60,3 +60,29 @@ def test_incremental_matches_batchwise(spark, tmp_path):
     assert not missing, f"streaming missed exact pairs: {missing}"
     if any((a in half) != (b in half) for a, b in gt_exact):
         assert cross, "no cross-batch pairs found despite straddling ground truth"
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a crash (done-marker missing, partial or
+    full data written) must NOT duplicate index rows: batch-scoped overwrite
+    directories make the replay heal whatever the first attempt left."""
+    corpus = generate_corpus(n_base=12, dup_fraction=0.5, seed=3)
+    batch = spark.createDataFrame(corpus.turns, TURNS_DDL)
+
+    inc = IncrementalDedup(spark, str(tmp_path / "index"), CFG)
+    inc.process_batch(batch, 0)
+    sigs1 = inc.signatures().count()
+    pairs1 = {(r.id_a, r.id_b) for r in inc.dup_pairs().collect()}
+    assert sigs1 > 0
+
+    # simulate a crash AFTER the data writes but BEFORE the commit marker:
+    # the marker is gone, so the stream replays batch 0 on restart
+    os.remove(os.path.join(str(tmp_path / "index"), "_batch_0_done"))
+    inc.process_batch(batch, 0)
+
+    assert inc.signatures().count() == sigs1
+    assert {(r.id_a, r.id_b) for r in inc.dup_pairs().collect()} == pairs1
+
+    # and a marker-present replay is a no-op
+    inc.process_batch(batch, 0)
+    assert inc.signatures().count() == sigs1

@@ -60,10 +60,10 @@ def test_extend_match():
     a = "aaa MIDDLE-SHARED-PART zzz"
     b = "bb MIDDLE-SHARED-PART qqqq"
     pa, pb = a.index("MIDDLE"), b.index("MIDDLE")
-    got = _extend_match(a, b, pa + 3, pb + 3, 5)
+    got = _extend_match(a.encode(), b.encode(), pa + 3, pb + 3, 5)
     assert got == len(" MIDDLE-SHARED-PART ")
     # hash-collision guard: mismatched seed bytes -> 0
-    assert _extend_match("abcdef", "zzzzzz", 0, 0, 3) == 0
+    assert _extend_match(b"abcdef", b"zzzzzz", 0, 0, 3) == 0
 
 
 def test_overlap_stage_end_to_end(spark):

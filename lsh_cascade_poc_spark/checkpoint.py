@@ -69,30 +69,51 @@ class StageStore:
         writer.parquet(path)
         wall_ms = (time.perf_counter() - t0) * 1000.0
         out = self.spark.read.parquet(path)
-        rows = out.count()
-        n_parts = out.rdd.getNumPartitions()
+        # row count + partition count from parquet FOOTERS (driver-side, no
+        # Spark job): a per-stage count() job added ~0.6s x n_stages of pure
+        # serial time to every pipeline run
+        rows, n_parts = self._footer_stats(path)
         self._append_metrics(stage, rows, n_parts, wall_ms, extra_metrics or {})
         # atomic-enough commit marker: written only after data + metrics land
         with open(os.path.join(path, _COMMIT_MARKER), "w") as f:
             f.write(json.dumps({"rows": rows, "wall_ms": wall_ms}))
         return out
 
+    @staticmethod
+    def _footer_stats(path: str) -> tuple[int, int]:
+        """(row count, file count) from parquet file footers — no Spark job."""
+        import pyarrow.parquet as pq
+
+        rows = 0
+        files = 0
+        for root, _dirs, names in os.walk(path):
+            for f in names:
+                if f.endswith(".parquet"):
+                    rows += pq.read_metadata(os.path.join(root, f)).num_rows
+                    files += 1
+        return rows, files
+
     def _append_metrics(self, stage: str, rows: int, n_parts: int,
                         wall_ms: float, extra: dict) -> None:
-        row = [
-            (
-                stage,
-                self.config_hash,
-                rows,
-                n_parts,
-                wall_ms,
-                json.dumps(extra, sort_keys=True),
-                int(time.time() * 1000),
-            )
-        ]
-        mdf = self.spark.createDataFrame(row, METRICS_SCHEMA)
-        mdf.write.mode("append").parquet(
-            os.path.join(self.work_dir, self.config_hash, "_metrics")
+        """One metric row appended as a single parquet file, written DRIVER-
+        side with pyarrow (schema matches METRICS_SCHEMA): a Spark write job
+        per stage was another ~0.6s of serial overhead per stage."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table({
+            "stage": [stage],
+            "config_hash": [self.config_hash],
+            "rows_out": pa.array([rows], type=pa.int64()),
+            "n_partitions": pa.array([n_parts], type=pa.int32()),
+            "wall_ms": pa.array([wall_ms], type=pa.float64()),
+            "extra": [json.dumps(extra, sort_keys=True)],
+            "finished_at_ms": pa.array([int(time.time() * 1000)], type=pa.int64()),
+        })
+        mdir = os.path.join(self.work_dir, self.config_hash, "_metrics")
+        os.makedirs(mdir, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(mdir, f"{stage}-{int(time.time() * 1e6)}.parquet")
         )
 
     def metrics(self) -> DataFrame:

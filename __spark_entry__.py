@@ -10,11 +10,15 @@ numpy-reference parity (tests/test_pipeline_e2e.py).
 Operator coverage map (SURVEY.md §2): S2 q_normalize_docs; S4 q_mixed_union;
 S6/S7 via scans inside every query; window-assembly q_assemble_events;
 H5/H7 q_signbit_hamming_pairs + q_hamming_topk; H6/F1/F4/A3
-q_lsh_band_pairs / q_minhash_signatures; R1 q_hamming_topk; R3/R4
-q_cosine_topk; R5 q_semijoin_fetch; A1 q_band_recall; A2 everywhere
-(distinct); CC q_cluster_docs; text-analysis extensions q_quality_scores /
-q_langid / q_token_stats; exact dedup q_exact_dup_groups; full UDF cascade
-q_dedup_pairs / q_dedup_clusters (rows-only).
+q_lsh_band_pairs / q_minhash_signatures; H8 q_multiprobe_hamming; F5
+q_confidence_multiprobe; H13 q_e2lsh_multiprobe (rows-only); H18
+q_overlap_segments; R1 q_hamming_topk; R3/R4 q_cosine_topk +
+q_cosine_dup_pairs; R5 q_semijoin_fetch; A1 q_recall_eval; A2 everywhere
+(distinct); F6/A7 q_pivot_prefilter; CC q_cluster_docs; text-analysis
+extensions q_quality_scores / q_langid / q_token_stats / q_token_count_bpe;
+exact dedup q_exact_dup_groups; full UDF cascade q_dedup_pairs /
+q_dedup_clusters (rows-only); H9-H11 q_itq_codes; H12/F3 q_e2lsh_pairs;
+multimodal q_media_dedup.
 """
 
 from __future__ import annotations
@@ -511,6 +515,38 @@ def q_multiprobe_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-pipeline dedup list):
+    all pairs with cosine >= 0.4
+    (the synthetic embeddings' top pairs sit at ~0.45-0.51) — the exact-verify semantics of the
+    embedding near-dup stage (the LSH-bucketed scale path is
+    ann_cascade_topk / media_dedup; this is its oracle-exact ground truth).
+    Sequential-fold double arithmetic in both engines (bit-identical)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    dot = (
+        "aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    norm = (
+        "SQRT(aggregate(transform({0}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v))"
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.expr("a.vec_id < b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                F.expr(dot) / (F.expr(norm.format("a")) * F.expr(norm.format("b"))), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
 def q_confidence_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: confidence-based multiprobe (reference query_with_multiprobe,
     src/dflsh.py:199-262) on the signbit fingerprint, where the projection
@@ -800,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_eval": q_recall_eval,
         "sessionize": q_sessionize,
         "multiprobe_hamming": q_multiprobe_hamming,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
         "confidence_multiprobe": q_confidence_multiprobe,
         "overlap_segments": q_overlap_segments,
         "cube_events": q_cube_events,
@@ -1130,6 +1167,31 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT d.vec_id, bit_count(xor(d.h, p.qh)) AS hamming
       FROM bands d JOIN probes p ON d.band_id = p.band_id AND d.band_key = p.band_key
       WHERE d.vec_id <> 7 AND bit_count(xor(d.h, p.qh)) <= 24
+    """
+
+    sql["cosine_dup_pairs"] = """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(
+               list_reduce(list_transform(generate_series(1, 64),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+               / (SQRT(list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y))
+                  * SQRT(list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y))), 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(
+               list_reduce(list_transform(generate_series(1, 64),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+               / (SQRT(list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y))
+                  * SQRT(list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y))), 6) >= 0.4
     """
 
     sql["confidence_multiprobe"] = f"""

@@ -781,6 +781,25 @@ def q_e2lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e2lsh_query_candidates(doc_b, q_probes)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: k-means coarse quantizer (driver fit, bounded
+    deterministic sample) -> cell assignment -> nprobe-cell probe ->
+    exact cosine rerank. Rows-only; full-probe==brute-force parity and
+    assignment parity are pytest-asserted (tests/test_probes_segments.py)."""
+    from lsh_cascade_poc_spark.embedding.ivf import (
+        assign_cells,
+        fit_ivf_on_dataframe,
+        ivf_search,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    model = fit_ivf_on_dataframe(emb, "embedding", n_cells=16, n_iter=10,
+                                 order_col="vec_id")
+    docs = assign_cells(emb, model).localCheckpoint(eager=True)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivf_search(docs, queries_df, model, top_k=10, nprobe=4)
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: documents reshaped into binary media payloads ->
     fake-decode features (codecs stubbed) -> signbit SimHash band join.
@@ -847,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itq_codes": q_itq_codes,
         "e2lsh_pairs": q_e2lsh_pairs,
         "e2lsh_multiprobe": q_e2lsh_multiprobe,
+        "ivf_topk": q_ivf_topk,
         "media_dedup": q_media_dedup,
     }
 

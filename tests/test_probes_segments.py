@@ -277,3 +277,63 @@ def test_combined_band_pivot_filter(spark, vecs, planes):
             ):
                 want.add((q, d))
     assert got == want
+
+
+def test_ivf_assign_parity_and_full_probe_recall(spark, vecs):
+    """IVF: Spark cell assignment == numpy argmax; probing ALL cells
+    recovers exactly the brute-force top-k; model save/load roundtrip."""
+    from lsh_cascade_poc_spark.embedding.ivf import (
+        assign_cells,
+        fit_ivf_on_dataframe,
+        ivf_fit,
+        ivf_search,
+        load_ivf_model,
+        save_ivf_model,
+    )
+    from lsh_cascade_poc_spark.embedding.search import cosine_topk
+
+    df = _vec_df(spark, vecs).localCheckpoint(eager=True)
+    model = ivf_fit(vecs, n_cells=4, n_iter=10, seed=1)
+
+    with_cells = assign_cells(df, model)
+    got = {r.vec_id: r.cell_id for r in with_cells.collect()}
+    n = np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = np.argmax((vecs / n) @ model.centroids.T, axis=1)
+    assert got == {i: int(want[i]) for i in range(len(vecs))}
+
+    queries = df.filter(F.col("vec_id") < 4)
+    full = ivf_search(with_cells, queries, model, top_k=5, nprobe=4)
+    brute = cosine_topk(
+        df, queries.withColumnRenamed("vec_id", "query_id"), 5
+    ).filter(F.col("query_id") != F.col("doc_id"))
+    got_pairs = {(r.query_id, r.doc_id) for r in full.collect()}
+    # brute force includes self-matches at rank 1 which ivf_search excludes;
+    # recompute brute without self for a fair set comparison
+    brute2 = cosine_topk(
+        df.filter(F.col("vec_id") >= 0), queries.withColumnRenamed("vec_id", "query_id"),
+        6
+    ).filter(F.col("query_id") != F.col("doc_id")) \
+        .filter(F.col("rank") <= 6)
+    want_pairs = set()
+    per_q: dict = {}
+    for r in sorted(brute2.collect(), key=lambda r: (r.query_id, r.rank)):
+        per_q.setdefault(r.query_id, [])
+        if len(per_q[r.query_id]) < 5:
+            per_q[r.query_id].append(r.doc_id)
+            want_pairs.add((r.query_id, r.doc_id))
+    assert got_pairs == want_pairs
+
+    # nprobe=1 candidates are a subset; recall still positive
+    one = ivf_search(with_cells, queries, model, top_k=5, nprobe=1)
+    assert 0 < one.count() <= full.count()
+
+
+def test_ivf_model_roundtrip(tmp_path, vecs):
+    from lsh_cascade_poc_spark.embedding.ivf import (
+        ivf_fit, load_ivf_model, save_ivf_model,
+    )
+
+    m = ivf_fit(vecs, n_cells=4, n_iter=5, seed=7)
+    save_ivf_model(m, str(tmp_path / "ivf.npz"))
+    m2 = load_ivf_model(str(tmp_path / "ivf"))
+    assert np.array_equal(m.centroids, m2.centroids)

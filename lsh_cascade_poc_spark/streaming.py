@@ -6,8 +6,9 @@ practice, so the engine ships an incremental path:
 
   readStream(turn files) -> foreachBatch:
       1. assemble the micro-batch's conversations (complete convs per batch —
-         the file-per-conversation-chunk contract; cross-batch conv stitching
-         would need applyInPandasWithState and is out of scope for v1)
+         the file-per-conversation-chunk contract; for turns arriving ACROSS
+         micro-batches use streaming_state.assemble_conversations_stream,
+         the applyInPandasWithState + event-time-timeout assembler)
       2. compute signatures with the SAME kernels as the batch pipeline
       3. match new docs against the EXISTING banded index (join, not self-join)
       4. append new signatures + discovered dup pairs to the index tables

@@ -74,6 +74,15 @@ class StageStore:
         # serial time to every pipeline run
         rows, n_parts = self._footer_stats(path)
         self._append_metrics(stage, rows, n_parts, wall_ms, extra_metrics or {})
+        if partition_cols:
+            # one metric row per partition value (e.g. candidates/source=minhash):
+            # a fused multi-tier stage stays per-tier observable (A5) without
+            # per-tier write jobs — counts come from the same parquet footers
+            for sub in sorted(os.listdir(path)):
+                if "=" in sub and os.path.isdir(os.path.join(path, sub)):
+                    srows, sparts = self._footer_stats(os.path.join(path, sub))
+                    self._append_metrics(f"{stage}/{sub}", srows, sparts,
+                                         wall_ms, extra_metrics or {})
         # atomic-enough commit marker: written only after data + metrics land
         with open(os.path.join(path, _COMMIT_MARKER), "w") as f:
             f.write(json.dumps({"rows": rows, "wall_ms": wall_ms}))
@@ -112,8 +121,9 @@ class StageStore:
         })
         mdir = os.path.join(self.work_dir, self.config_hash, "_metrics")
         os.makedirs(mdir, exist_ok=True)
+        fname = stage.replace("/", "__")  # per-partition rows: candidates/source=x
         pq.write_table(
-            table, os.path.join(mdir, f"{stage}-{int(time.time() * 1e6)}.parquet")
+            table, os.path.join(mdir, f"{fname}-{int(time.time() * 1e6)}.parquet")
         )
 
     def metrics(self) -> DataFrame:

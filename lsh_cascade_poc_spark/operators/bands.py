@@ -80,7 +80,8 @@ def band_index_stats(bands: DataFrame) -> DataFrame:
 
 
 def cap_hot_bands(
-    bands: DataFrame, cap: int
+    bands: DataFrame, cap: int,
+    persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the band table into (kept, dropped_bucket_stats).
 
@@ -88,10 +89,18 @@ def cap_hot_bands(
     metrics table so the drop is observable, not silent. The frequency
     pre-pass is one partial-aggregated groupBy (map-side combine), cheap
     relative to the self-join it protects.
+
+    When `persist_registry` is given, the per-bucket count table (small:
+    one row per distinct bucket) is persisted and appended to it, so a
+    caller that later materializes the `hot` side for metrics reuses the
+    aggregation instead of re-scanning the full band table.
     """
     counts = bands.groupBy("tier", "band_id", "band_key").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    if persist_registry is not None:
+        counts = counts.persist()
+        persist_registry.append(counts)
     hot = counts.filter(F.col("n_docs") > cap)
     kept = bands.join(
         hot.select("tier", "band_id", "band_key"),

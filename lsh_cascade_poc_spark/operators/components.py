@@ -90,7 +90,11 @@ def connected_components(
 
     edges = _canonical(pairs)
     if checkpoint_each_round:
-        edges = edges.localCheckpoint(eager=True)
+        # lazy: the _signature collect right below materializes the
+        # checkpoint — eager=True would run a SEPARATE job first, doubling
+        # the per-round driver round-trips (each is ~0.3-0.5s of serial
+        # scheduling; the CC stage's wall is almost entirely these)
+        edges = edges.localCheckpoint(eager=False)
     sig = _signature(edges)
 
     for _ in range(max_iterations):
@@ -105,7 +109,7 @@ def connected_components(
             )
         )
         if checkpoint_each_round:
-            after_small = after_small.localCheckpoint(eager=True)
+            after_small = after_small.localCheckpoint(eager=False)
         new_sig = _signature(after_small)
         edges = after_small
         if new_sig == sig:

@@ -97,7 +97,8 @@ def minhash_candidate_pairs(
         signatures, "minhash", tier=0,
         n_bands=cfg.coarse_n_bands, rows_per_band=cfg.coarse_rows_per_band,
     )
-    coarse_kept, hot0 = cap_hot_bands(coarse, cfg.hot_band_cap)
+    coarse_kept, hot0 = cap_hot_bands(coarse, cfg.hot_band_cap,
+                                      persist_registry=persist_registry)
     # persisted: referenced by the survivor gate AND the final AND-join —
     # without it the band self-join recomputes once per consumer
     coarse_pairs = pairs_from_bands(coarse_kept, cfg.pair_repartition).persist()
@@ -112,7 +113,8 @@ def minhash_candidate_pairs(
         sigs_surv, "minhash", tier=1,
         n_bands=cfg.tight_n_bands, rows_per_band=cfg.tight_rows_per_band,
     )
-    tight_kept, hot1 = cap_hot_bands(tight, cfg.hot_band_cap)
+    tight_kept, hot1 = cap_hot_bands(tight, cfg.hot_band_cap,
+                                     persist_registry=persist_registry)
     tight_pairs = pairs_with_min_match(tight_kept, cfg.tight_min_match).select(
         "id_a", "id_b"
     )
@@ -129,7 +131,8 @@ def minhash_candidate_pairs(
 
 
 def simhash_candidate_pairs(
-    signatures: DataFrame, cfg: DedupConfig
+    signatures: DataFrame, cfg: DedupConfig,
+    persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SimHash bit-sampling pass: 16-bit chunk band join (chunk_hash analog)
     + Hamming <= tau prune (the reference's Stage-2 rerank as a filter).
@@ -145,7 +148,8 @@ def simhash_candidate_pairs(
             ])
         ).alias("band_id", "band_key"),
     ).withColumn("tier", F.lit(2))
-    kept, hot = cap_hot_bands(banded, cfg.hot_band_cap)
+    kept, hot = cap_hot_bands(banded, cfg.hot_band_cap,
+                              persist_registry=persist_registry)
     a = kept.select("tier", "band_id", "band_key",
                     F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
     b = kept.select("tier", "band_id", "band_key",
@@ -224,28 +228,39 @@ def run_dedup(
                 f"{n_coll} doc_id collisions (xxhash64 of distinct conv_ids); "
                 "re-run with salted ids or dedupe conv_ids"
             )
-    signatures = stage("signatures", lambda: build_signatures(docs, cfg))
-
     # exact-duplicate collapse BEFORE any banding: all LSH passes run over one
     # representative per distinct text; members re-attach via star edges in
-    # the clustering stage. ONE window pass, materialized once; reps and star
-    # edges are cheap filters over the tagged checkpoint.
+    # the clustering stage. The fingerprint-group tag (_root) is computed in
+    # the SAME materialization as the signatures themselves — one write, one
+    # window pass; reps and star edges are cheap filters over the checkpoint
+    # (r1 wrote the signature table twice: once plain, once tagged).
     persists: list = []
-    sig_tagged = stage("signatures_tagged", lambda: tag_exact_duplicates(signatures))
+    sig_tagged = stage(
+        "signatures",
+        lambda: tag_exact_duplicates(build_signatures(docs, cfg)),
+    )
+    signatures = sig_tagged.drop("_root")
     sig_reps, star_edges = split_exact_duplicates(sig_tagged)
     exact_pairs = star_edges.withColumn("source", F.lit("exact"))
+    # each candidate tier is its own materialization, NOT one fused write:
+    # fusing them into a single job looked cheaper on paper (one Catalyst
+    # analysis, overlapping shuffles) but tripled the stage's wall on this
+    # host — three tiers' shuffles live simultaneously and the working set
+    # blows past the VM's fault-handler comfort zone. Separate stages also
+    # keep per-tier resume + A5 reduction metrics trivially.
     mh_pairs_lazy, mh_hot = minhash_candidate_pairs(sig_reps, cfg, persists)
     mh_pairs = stage(
         "pairs_minhash", lambda: mh_pairs_lazy.withColumn("source", F.lit("minhash"))
     )
-    sh_pairs_lazy, sh_hot = simhash_candidate_pairs(sig_reps, cfg)
+    sh_pairs_lazy, sh_hot = simhash_candidate_pairs(sig_reps, cfg, persists)
     sh_pairs = stage(
         "pairs_simhash", lambda: sh_pairs_lazy.withColumn("source", F.lit("simhash"))
     )
     # A5/ADVICE: dropped hot buckets are recorded, not silent — their own
     # stage row (count + per-bucket sizes) in the metrics/checkpoint store.
-    # Only materialized when a store is recording (the re-aggregation costs a
-    # full pass over the band table; ephemeral runs skip it).
+    # The per-bucket count tables were persisted while the pair stages
+    # evaluated (cap_hot_bands persist_registry), so this is a cheap filter,
+    # not a band-table re-scan. Only materialized when a store is recording.
     if store is not None:
         stage("hot_band_drops", lambda: mh_hot.unionByName(sh_hot))
     sources = [exact_pairs, mh_pairs, sh_pairs]

@@ -92,7 +92,16 @@ def get_spark(
         .config("spark.driver.extraJavaOptions",
                 "-XX:MaxHeapFreeRatio=100 -XX:MinHeapFreeRatio=20")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 8MB, NOT bigger: building a broadcast relation is SERIAL driver
+        # work (collect + build + serialize before any task runs). At 64MB
+        # AQE broadcast the ~50MB candidate side of the overlap text joins
+        # and the driver stalled ~5s per join with zero tasks running —
+        # pure parallelism-independent overhead (and at cluster scale, a
+        # 64MB blob shipped to every executor). Mid-size relations belong
+        # in shuffle joins, which scale with executors.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                str(8 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

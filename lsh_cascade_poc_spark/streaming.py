@@ -58,13 +58,18 @@ class IncrementalDedup:
                 return True
         return False
 
-    def _read_table(self, name: str) -> DataFrame:
+    def _read_table(self, name: str, exclude_batch: int | None = None) -> DataFrame:
         """Read a batch-partitioned index table, dropping the discovery
-        column. Only COMMITTED batches are visible: a replayed batch
-        overwrites its own subdirectory, so a crash between appends can never
-        leave duplicate rows behind (idempotency is per-directory, not
-        per-append)."""
-        return self.spark.read.parquet(self._path(name)).drop("batch_id")
+        column. A replayed batch overwrites its own subdirectory, so a crash
+        between appends can never accumulate duplicate rows (idempotency is
+        per-directory, not per-append). `exclude_batch` additionally hides a
+        batch's OWN partial output from its replay: without it, the replay's
+        probe would read the crashed attempt's half-written signatures/bands
+        as if they were index state."""
+        df = self.spark.read.parquet(self._path(name))
+        if exclude_batch is not None:
+            df = df.filter(F.col("batch_id") != exclude_batch)
+        return df.drop("batch_id")
 
     def _write_batch(self, df: DataFrame, name: str, batch_id: int) -> None:
         df.write.mode("overwrite").parquet(
@@ -95,8 +100,8 @@ class IncrementalDedup:
         new_bands = self._bands_of(sigs)
 
         if self._exists("bands"):
-            idx_bands = self._read_table("bands")
-            idx_sigs = self._read_table("signatures")
+            idx_bands = self._read_table("bands", exclude_batch=batch_id)
+            idx_sigs = self._read_table("signatures", exclude_batch=batch_id)
             # probe: new docs vs existing index (plus new-vs-new self-join)
             probe = new_bands.select(
                 "tier", "band_id", "band_key", F.col("doc_id").alias("id_new")

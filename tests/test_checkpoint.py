@@ -71,7 +71,7 @@ def test_pipeline_resume(spark, tiny_turns, tmp_path):
     # A5: every cascade tier leaves a reduction-observable metric row —
     # candidate counts per tier AND the dropped hot-band stats
     assert {
-        "docs", "signatures", "signatures_tagged", "pairs_minhash",
+        "docs", "signatures", "pairs_minhash",
         "pairs_simhash", "hot_band_drops", "dup_pairs", "clusters",
     } <= stages
 

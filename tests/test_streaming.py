@@ -86,3 +86,19 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     # and a marker-present replay is a no-op
     inc.process_batch(batch, 0)
     assert inc.signatures().count() == sigs1
+
+    # crash mid-write: the first attempt left EXTRA rows (duplicated file)
+    # in its own batch dir. The replay must neither keep them (overwrite
+    # heals the dir) nor READ them as index state while recomputing
+    # (_read_table excludes the replaying batch).
+    import glob
+    import shutil
+
+    os.remove(os.path.join(str(tmp_path / "index"), "_batch_0_done"))
+    sig_dir = os.path.join(str(tmp_path / "index"), "signatures", "batch_id=0")
+    a_file = glob.glob(os.path.join(sig_dir, "*.parquet"))[0]
+    shutil.copy(a_file, os.path.join(sig_dir, "part-dup-copy.parquet"))
+    assert inc.signatures().count() > sigs1  # corruption is visible pre-replay
+    inc.process_batch(batch, 0)
+    assert inc.signatures().count() == sigs1
+    assert {(r.id_a, r.id_b) for r in inc.dup_pairs().collect()} == pairs1

@@ -9,6 +9,12 @@ Spark's Parquet commit protocol plus the marker gives the same
 pickled index files (/root/reference/src/cascade_search.py:301-340
 save_index/load_index is the reference's checkpoint analog).
 
+All driver-side filesystem access (commit markers, parquet-footer stats,
+metric appends) goes through ``pyarrow.fs`` resolved from the work_dir URI,
+so a cluster deployment can point the store at ``s3://…`` or ``hdfs://…``
+and the driver bookkeeping keeps working — plain ``os`` calls would bind
+the checkpoint protocol to the driver's local disk.
+
 Layout:  <work_dir>/<config_hash>/<stage_name>/   (data)
          <work_dir>/<config_hash>/_metrics/       (append-only metric rows)
 """
@@ -38,10 +44,31 @@ class StageStore:
     config_hash: str
 
     def _stage_path(self, stage: str) -> str:
-        return os.path.join(self.work_dir, self.config_hash, stage)
+        """Path as SPARK sees it (keeps the scheme, e.g. s3://…)."""
+        return f"{self.work_dir.rstrip('/')}/{self.config_hash}/{stage}"
+
+    # -- driver-side filesystem (URI-aware) --------------------------------
+
+    def _fs(self):
+        """(pyarrow FileSystem, work_dir path inside it). Resolved per call —
+        pyarrow filesystems are cheap handles and a dataclass field would
+        break pickling of the store."""
+        from pyarrow import fs as pafs
+
+        if "://" in self.work_dir:
+            return pafs.FileSystem.from_uri(self.work_dir)
+        return pafs.LocalFileSystem(), os.path.abspath(self.work_dir)
+
+    def _fs_path(self, stage: str) -> tuple:
+        fs, root = self._fs()
+        return fs, f"{root.rstrip('/')}/{self.config_hash}/{stage}"
 
     def exists(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._stage_path(stage), _COMMIT_MARKER))
+        from pyarrow import fs as pafs
+
+        fs, path = self._fs_path(stage)
+        info = fs.get_file_info(f"{path}/{_COMMIT_MARKER}")
+        return info.type != pafs.FileType.NotFound
 
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._stage_path(stage))
@@ -72,34 +99,38 @@ class StageStore:
         # row count + partition count from parquet FOOTERS (driver-side, no
         # Spark job): a per-stage count() job added ~0.6s x n_stages of pure
         # serial time to every pipeline run
-        rows, n_parts = self._footer_stats(path)
+        fs, fspath = self._fs_path(stage)
+        rows, n_parts = self._footer_stats(fs, fspath)
         self._append_metrics(stage, rows, n_parts, wall_ms, extra_metrics or {})
         if partition_cols:
             # one metric row per partition value (e.g. candidates/source=minhash):
             # a fused multi-tier stage stays per-tier observable (A5) without
             # per-tier write jobs — counts come from the same parquet footers
-            for sub in sorted(os.listdir(path)):
-                if "=" in sub and os.path.isdir(os.path.join(path, sub)):
-                    srows, sparts = self._footer_stats(os.path.join(path, sub))
+            from pyarrow import fs as pafs
+
+            for info in fs.get_file_info(pafs.FileSelector(fspath)):
+                sub = info.path.rstrip("/").rsplit("/", 1)[-1]
+                if "=" in sub and not info.is_file:
+                    srows, sparts = self._footer_stats(fs, info.path)
                     self._append_metrics(f"{stage}/{sub}", srows, sparts,
                                          wall_ms, extra_metrics or {})
         # atomic-enough commit marker: written only after data + metrics land
-        with open(os.path.join(path, _COMMIT_MARKER), "w") as f:
-            f.write(json.dumps({"rows": rows, "wall_ms": wall_ms}))
+        with fs.open_output_stream(f"{fspath}/{_COMMIT_MARKER}") as f:
+            f.write(json.dumps({"rows": rows, "wall_ms": wall_ms}).encode())
         return out
 
     @staticmethod
-    def _footer_stats(path: str) -> tuple[int, int]:
+    def _footer_stats(fs, path: str) -> tuple[int, int]:
         """(row count, file count) from parquet file footers — no Spark job."""
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
         rows = 0
         files = 0
-        for root, _dirs, names in os.walk(path):
-            for f in names:
-                if f.endswith(".parquet"):
-                    rows += pq.read_metadata(os.path.join(root, f)).num_rows
-                    files += 1
+        for info in fs.get_file_info(pafs.FileSelector(path, recursive=True)):
+            if info.is_file and info.path.endswith(".parquet"):
+                rows += pq.read_metadata(info.path, filesystem=fs).num_rows
+                files += 1
         return rows, files
 
     def _append_metrics(self, stage: str, rows: int, n_parts: int,
@@ -119,27 +150,33 @@ class StageStore:
             "extra": [json.dumps(extra, sort_keys=True)],
             "finished_at_ms": pa.array([int(time.time() * 1000)], type=pa.int64()),
         })
-        mdir = os.path.join(self.work_dir, self.config_hash, "_metrics")
-        os.makedirs(mdir, exist_ok=True)
+        fs, mdir = self._fs_path("_metrics")
+        fs.create_dir(mdir, recursive=True)
         fname = stage.replace("/", "__")  # per-partition rows: candidates/source=x
         pq.write_table(
-            table, os.path.join(mdir, f"{fname}-{int(time.time() * 1e6)}.parquet")
+            table, f"{mdir}/{fname}-{int(time.time() * 1e6)}.parquet",
+            filesystem=fs,
         )
 
     def metrics(self) -> DataFrame:
-        path = os.path.join(self.work_dir, self.config_hash, "_metrics")
-        if not os.path.exists(path):
+        from pyarrow import fs as pafs
+
+        fs, mdir = self._fs_path("_metrics")
+        if fs.get_file_info(mdir).type == pafs.FileType.NotFound:
             return self.spark.createDataFrame([], METRICS_SCHEMA)
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(self._stage_path("_metrics"))
 
     def stage_size_bytes(self, stage: str) -> int:
         """On-disk footprint of a committed stage (A6 index-stats analog of
         the reference's embeddings/hashes_memory_mb, src/cascade_search.py:292-299)."""
+        from pyarrow import fs as pafs
+
+        fs, path = self._fs_path(stage)
         total = 0
-        for root, _dirs, files in os.walk(self._stage_path(stage)):
-            for f in files:
-                if not f.startswith("_"):
-                    total += os.path.getsize(os.path.join(root, f))
+        for info in fs.get_file_info(pafs.FileSelector(path, recursive=True)):
+            name = info.path.rstrip("/").rsplit("/", 1)[-1]
+            if info.is_file and not name.startswith("_"):
+                total += info.size or 0
         return total
 
     def partition_lineage(self, stage: str) -> DataFrame:

@@ -44,19 +44,33 @@ class IncrementalDedup:
         self.spark = spark
         self.index_dir = index_dir
         self.cfg = cfg or DedupConfig()
-        os.makedirs(index_dir, exist_ok=True)
+        fs, root = self._fs()
+        fs.create_dir(root, recursive=True)
+
+    def _fs(self):
+        """(pyarrow FileSystem, index_dir path inside it) — URI-aware like
+        StageStore, so the index can live on s3://…/hdfs://… in a cluster
+        deployment while the driver's marker bookkeeping keeps working."""
+        from pyarrow import fs as pafs
+
+        if "://" in self.index_dir:
+            return pafs.FileSystem.from_uri(self.index_dir)
+        return pafs.LocalFileSystem(), os.path.abspath(self.index_dir)
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.index_dir, name)
+        """Path as Spark sees it (keeps the URI scheme)."""
+        return f"{self.index_dir.rstrip('/')}/{name}"
 
     def _exists(self, name: str) -> bool:
-        p = self._path(name)
-        if not os.path.exists(p):
-            return False
-        for _root, _dirs, files in os.walk(p):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        from pyarrow import fs as pafs
+
+        fs, root = self._fs()
+        sel = pafs.FileSelector(f"{root.rstrip('/')}/{name}", recursive=True,
+                                allow_not_found=True)
+        return any(
+            i.is_file and i.path.endswith(".parquet")
+            for i in fs.get_file_info(sel)
+        )
 
     def _read_table(self, name: str, exclude_batch: int | None = None) -> DataFrame:
         """Read a batch-partitioned index table, dropping the discovery
@@ -73,7 +87,7 @@ class IncrementalDedup:
 
     def _write_batch(self, df: DataFrame, name: str, batch_id: int) -> None:
         df.write.mode("overwrite").parquet(
-            os.path.join(self._path(name), f"batch_id={batch_id}")
+            f"{self._path(name)}/batch_id={batch_id}"
         )
 
     def _bands_of(self, signatures: DataFrame) -> DataFrame:
@@ -86,8 +100,11 @@ class IncrementalDedup:
     def process_batch(self, turns_batch: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
         spark = self.spark
-        done_marker = self._path(f"_batch_{batch_id}_done")
-        if os.path.exists(done_marker):
+        from pyarrow import fs as pafs
+
+        fs, root = self._fs()
+        done_marker = f"{root.rstrip('/')}/_batch_{batch_id}_done"
+        if fs.get_file_info(done_marker).type != pafs.FileType.NotFound:
             return  # replayed micro-batch after restart: already applied
 
         docs = with_doc_id(
@@ -154,8 +171,8 @@ class IncrementalDedup:
         self._write_batch(sigs, "signatures", batch_id)
         self._write_batch(new_bands, "bands", batch_id)
         self._write_batch(dup, "dup_pairs", batch_id)
-        with open(done_marker, "w") as f:
-            f.write("ok")
+        with fs.open_output_stream(done_marker) as f:
+            f.write(b"ok")
 
     # -- convenience wiring -------------------------------------------------
 

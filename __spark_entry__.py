@@ -17,8 +17,9 @@ q_cosine_dup_pairs; R5 q_semijoin_fetch; A1 q_recall_eval; A2 everywhere
 (distinct); F6/A7 q_pivot_prefilter; CC q_cluster_docs; text-analysis
 extensions q_quality_scores / q_langid / q_token_stats / q_token_count_bpe;
 exact dedup q_exact_dup_groups; full UDF cascade q_dedup_pairs /
-q_dedup_clusters (rows-only); H9-H11 q_itq_codes; H12/F3 q_e2lsh_pairs;
-multimodal q_media_dedup.
+q_dedup_clusters (rows-only); H9-H11 q_itq_codes; H12/F3 q_e2lsh_pairs
+(rows-only, production numpy kernel) + q_e2lsh_buckets (hash-exact oracle of
+the hash definition itself); multimodal q_media_dedup.
 """
 
 from __future__ import annotations
@@ -781,6 +782,45 @@ def q_e2lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e2lsh_query_candidates(doc_b, q_probes)
 
 
+def _e2lsh_oracle_params():
+    """Seeded params shared by q_e2lsh_buckets and its DuckDB oracle: the
+    SAME 6-decimal literals are inlined into both engines' SQL, so both
+    hash bitwise-identical doubles (decimal literals parse exactly)."""
+    import numpy as np
+
+    from lsh_cascade_poc_spark.embedding.e2lsh import make_e2lsh_params
+
+    p = make_e2lsh_params(dim=64, k=2, n_tables=3, w=4.0, seed=7)
+    return (np.round(p.a.astype(np.float64), 6),
+            np.round(p.b.astype(np.float64), 6), 4.0)
+
+
+def q_e2lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12 hash math, oracle-exact: bucket = floor(round((a.v + b)/w, 6))
+    per (table, coordinate), computed as a Catalyst sequential fold (the
+    q_cosine_topk parity idiom) with the projection vectors inlined as
+    literals (ref src/e2lsh.py:75-147 hash_batch_all_tables). The
+    production path (make_e2lsh_udf: numpy batch einsum) stays in
+    q_e2lsh_pairs; THIS query pins the hash definition cross-engine."""
+    a, b, w = _e2lsh_oracle_params()
+    emb = _read(spark, sf_dir, "embeddings")
+    parts = []
+    for tbl in range(a.shape[0]):
+        cols = [F.col("vec_id"), F.lit(tbl).alias("table_id")]
+        for j in range(a.shape[1]):
+            lits = ", ".join(f"{v:.6f}D" for v in a[tbl, j])
+            cols.append(F.expr(
+                f"CAST(floor(round((aggregate(zip_with(embedding, array({lits}),"
+                f" (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+                f" + {b[tbl, j]:.6f}D) / {w:.1f}D, 6)) AS INT)"
+            ).alias(f"b{j}"))
+        parts.append(emb.select(*cols))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN scale path: k-means coarse quantizer (driver fit, bounded
     deterministic sample) -> cell assignment -> nprobe-cell probe ->
@@ -865,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cascade_topk": q_ann_cascade_topk,
         "itq_codes": q_itq_codes,
         "e2lsh_pairs": q_e2lsh_pairs,
+        "e2lsh_buckets": q_e2lsh_buckets,
         "e2lsh_multiprobe": q_e2lsh_multiprobe,
         "ivf_topk": q_ivf_topk,
         "media_dedup": q_media_dedup,
@@ -1285,6 +1326,29 @@ def oracle_sql() -> dict[str, str]:
              length(text) AS n_chars_raw
       FROM documents
     """
+
+    # E2LSH bucket hash with the SAME 6-decimal projection literals the
+    # Spark query inlines (see q_e2lsh_buckets): sequential left fold, so
+    # both engines compute bitwise-identical doubles before floor().
+    a, b, w = _e2lsh_oracle_params()
+
+    def _e2lsh_tbl_select(tbl: int) -> str:
+        coords = []
+        for j in range(a.shape[1]):
+            lits = ", ".join(f"{v:.6f}" for v in a[tbl, j])
+            coords.append(
+                f"CAST(floor(round((list_reduce(list_transform("
+                f"generate_series(1, 64),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]),"
+                f" (x, y) -> x + y)"
+                f" + {b[tbl, j]:.6f}) / {w:.1f}, 6)) AS INT) AS b{j}"
+            )
+        return (f"SELECT vec_id, {tbl} AS table_id, "
+                + ", ".join(coords) + " FROM embeddings")
+
+    sql["e2lsh_buckets"] = "\n      UNION ALL\n      ".join(
+        _e2lsh_tbl_select(t) for t in range(a.shape[0])
+    )
 
     return sql
 

@@ -17,9 +17,10 @@ q_cosine_dup_pairs; R5 q_semijoin_fetch; A1 q_recall_eval; A2 everywhere
 (distinct); F6/A7 q_pivot_prefilter; CC q_cluster_docs; text-analysis
 extensions q_quality_scores / q_langid / q_token_stats / q_token_count_bpe;
 exact dedup q_exact_dup_groups; full UDF cascade q_dedup_pairs /
-q_dedup_clusters (rows-only); H9-H11 q_itq_codes; H12/F3 q_e2lsh_pairs
-(rows-only, production numpy kernel) + q_e2lsh_buckets (hash-exact oracle of
-the hash definition itself); multimodal q_media_dedup.
+q_dedup_clusters (rows-only); H9-H11 q_itq_codes (rows-only, production
+kernel) + q_itq_transform (hash-exact oracle of transform+pack); H12/F3
+q_e2lsh_pairs (rows-only, production numpy kernel) + q_e2lsh_buckets
+(hash-exact oracle of the hash definition itself); multimodal q_media_dedup.
 """
 
 from __future__ import annotations
@@ -821,6 +822,46 @@ def q_e2lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _itq16_fold_model(x):
+    """Fit ITQ(16 bits) on the float32 matrix and fold it for literal
+    inlining: W = pca @ rotation (dim x 16) and c = mean @ W, both rounded
+    to 6 decimals. bit_j(v) = [round(v . W[:,j] - c_j, 6) >= 0] — identical
+    literals in both engines => identical doubles => identical bits."""
+    import numpy as np
+
+    from lsh_cascade_poc_spark.embedding.itq import itq_fit
+
+    m = itq_fit(x, 16, n_iter=25, seed=42)
+    w = m.pca.astype(np.float64) @ m.rotation.astype(np.float64)
+    c = m.mean.astype(np.float64) @ w
+    return np.round(w, 6), np.round(c, 6)
+
+
+def q_itq_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10/H11 oracle-exact: ITQ transform (center -> PCA-project -> rotate
+    -> sign, ref src/itq_lsh.py:130-161) + bits->int pack, as a Catalyst
+    fold over inlined fitted literals. The fit itself (driver-side numpy,
+    deterministic vec_id order) matches q_itq_codes' production path; this
+    query pins the TRANSFORM + PACK definition cross-engine."""
+    import numpy as np
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
+    w, c = _itq16_fold_model(x)
+    bits = []
+    for j in range(16):
+        lits = ", ".join(f"{v:.6f}D" for v in w[:, j])
+        bits.append(
+            f"(CASE WHEN round(aggregate(zip_with(embedding, array({lits}),"
+            f" (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+            f" - {c[j]:.6f}D, 6) >= 0D THEN {1 << j} ELSE 0 END)"
+        )
+    return emb.select(
+        "vec_id", F.expr(f"CAST({' + '.join(bits)} AS INT)").alias("itq16")
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN scale path: k-means coarse quantizer (driver fit, bounded
     deterministic sample) -> cell assignment -> nprobe-cell probe ->
@@ -904,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_pairs": q_overlap_pairs,
         "ann_cascade_topk": q_ann_cascade_topk,
         "itq_codes": q_itq_codes,
+        "itq_transform": q_itq_transform,
         "e2lsh_pairs": q_e2lsh_pairs,
         "e2lsh_buckets": q_e2lsh_buckets,
         "e2lsh_multiprobe": q_e2lsh_multiprobe,
@@ -1348,6 +1390,38 @@ def oracle_sql() -> dict[str, str]:
 
     sql["e2lsh_buckets"] = "\n      UNION ALL\n      ".join(
         _e2lsh_tbl_select(t) for t in range(a.shape[0])
+    )
+
+    # ITQ transform with the SAME fitted 6-decimal literals q_itq_transform
+    # inlines. The fit input must be byte-identical to the Spark query's
+    # (vec_id-ordered float32 matrix), read here straight from the parquet
+    # the driver registers as the `embeddings` view at the correctness sf.
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf001 = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    tbl_emb = pq.read_table(os.path.join(sf001, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    order = np.argsort(tbl_emb["vec_id"].to_numpy())
+    x = np.stack(
+        [np.asarray(v, dtype=np.float32)
+         for v in tbl_emb["embedding"].to_pylist()]
+    )[order]
+    w, c = _itq16_fold_model(x)
+    bits = []
+    for j in range(16):
+        lits = ", ".join(f"{v:.6f}" for v in w[:, j])
+        bits.append(
+            f"(CASE WHEN round(list_reduce(list_transform("
+            f"generate_series(1, 64),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]),"
+            f" (x, y) -> x + y) - {c[j]:.6f}, 6) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    sql["itq_transform"] = (
+        f"SELECT vec_id, CAST({' + '.join(bits)} AS INT) AS itq16"
+        f" FROM embeddings"
     )
 
     return sql

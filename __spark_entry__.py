@@ -10,7 +10,9 @@ numpy-reference parity (tests/test_pipeline_e2e.py).
 Operator coverage map (SURVEY.md §2): S2 q_normalize_docs; S4 q_mixed_union;
 S6/S7 via scans inside every query; window-assembly q_assemble_events;
 H5/H7 q_signbit_hamming_pairs + q_hamming_topk; H6/F1/F4/A3
-q_lsh_band_pairs / q_minhash_signatures; H8 q_multiprobe_hamming; F5
+q_lsh_band_pairs / q_minhash_signatures; composed 3-stage cascade
+(S1 chunk filter -> S2 Hamming -> S3 cosine) q_cascade_topk (hash-exact);
+H8 q_multiprobe_hamming; F5
 q_confidence_multiprobe; H13 q_e2lsh_multiprobe (rows-only); H18
 q_overlap_segments; R1 q_hamming_topk; R3/R4 q_cosine_topk +
 q_cosine_dup_pairs; R5 q_semijoin_fetch; A1 q_recall_eval; A2 everywhere
@@ -517,6 +519,65 @@ def q_multiprobe_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship multi-stage search COMPOSED end-to-end,
+    oracle-exact (src/pipeline.py:68-119: Stage1 coarse chunk filter ->
+    Stage2 Hamming rerank -> Stage3 exact cosine rerank): queries vec_id<3;
+    Stage1 = docs sharing >=1 of the 8 8-bit signbit bands (list_has_any
+    analog, src/db.py:148-169; 8-bit so random sf0.01 vectors actually
+    collide — 16-bit bands select nothing at 500 docs);
+    Stage2 = top-20 by Hamming (ties: doc_id);
+    Stage3 = top-5 by exact cosine (sequential fold; ties: doc_id).
+    ann_cascade_topk keeps the production ITQ/banded kernels rows-only;
+    THIS query pins the composed cascade semantics cross-engine."""
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(_SPARK_SIGNBIT).alias("h")
+    )
+    bands = emb.select(
+        "vec_id", "h",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("h", i * 8).bitwiseAND(F.lit(0xFF))
+            for i in range(8)
+        ])).alias("band_id", "band_key"),
+    )
+    qb = bands.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "band_id", "band_key"
+    )
+    stage1 = (
+        bands.join(qb, ["band_id", "band_key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    qs = emb.select(F.col("vec_id").alias("query_id"), F.col("h").alias("qh"),
+                    F.col("embedding").alias("qe"))
+    ds = emb.select(F.col("vec_id").alias("doc_id"), F.col("h").alias("dh"),
+                    F.col("embedding").alias("de"))
+    scored = (
+        stage1.join(qs, "query_id").join(ds, "doc_id")
+        .withColumn("hamming", F.bit_count(F.col("dh").bitwiseXOR(F.col("qh"))))
+    )
+    w2 = Window.partitionBy("query_id").orderBy("hamming", "doc_id")
+    stage2 = scored.withColumn("r2", F.row_number().over(w2)) \
+        .filter(F.col("r2") <= 20)
+    dot = ("aggregate(zip_with(qe, de, (x, y) -> CAST(x AS DOUBLE) *"
+           " CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    norm = ("SQRT(aggregate(transform({0}, x -> CAST(x AS DOUBLE) *"
+            " CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))")
+    stage3 = stage2.withColumn(
+        "cosine",
+        F.round(F.expr(dot) / (F.expr(norm.format("qe")) * F.expr(norm.format("de"))), 6),
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    return (
+        stage3.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "cosine", "rank")
+    )
+
+
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-pipeline dedup list):
     all pairs with cosine >= 0.4
@@ -936,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_eval": q_recall_eval,
         "sessionize": q_sessionize,
         "multiprobe_hamming": q_multiprobe_hamming,
+        "cascade_topk": q_cascade_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "confidence_multiprobe": q_confidence_multiprobe,
         "overlap_segments": q_overlap_segments,
@@ -1367,6 +1429,50 @@ def oracle_sql() -> dict[str, str]:
                AS n_bpe_tokens,
              length(text) AS n_chars_raw
       FROM documents
+    """
+
+    sql["cascade_topk"] = f"""
+      WITH sig AS (SELECT vec_id, embedding, {_DUCK_SIGNBIT} AS h FROM embeddings),
+      bands AS (
+        SELECT vec_id, h, b.band_id,
+               CAST(((h::HUGEINT + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)
+                     >> (b.band_id * 8)) & 255 AS BIGINT) AS band_key
+        FROM sig, (SELECT unnest([0,1,2,3,4,5,6,7]) AS band_id) b
+      ),
+      stage1 AS (
+        SELECT DISTINCT q.vec_id AS query_id, d.vec_id AS doc_id
+        FROM bands d JOIN bands q ON d.band_id = q.band_id AND d.band_key = q.band_key
+        WHERE q.vec_id < 3 AND d.vec_id <> q.vec_id
+      ),
+      h2 AS (
+        SELECT s.query_id, s.doc_id, bit_count(xor(dq.h, dd.h)) AS hamming,
+               dq.embedding AS qe, dd.embedding AS de
+        FROM stage1 s JOIN sig dq ON dq.vec_id = s.query_id
+                      JOIN sig dd ON dd.vec_id = s.doc_id
+      ),
+      stage2 AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, doc_id) AS r2
+          FROM h2) WHERE r2 <= 20
+      ),
+      stage3 AS (
+        SELECT query_id, doc_id,
+               round(
+                 list_reduce(list_transform(generate_series(1, 64),
+                     i -> CAST(qe[i] AS DOUBLE) * CAST(de[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+                 / (SQRT(list_reduce(list_transform(generate_series(1, 64),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)),
+                      (x, y) -> x + y))
+                    * SQRT(list_reduce(list_transform(generate_series(1, 64),
+                        i -> CAST(de[i] AS DOUBLE) * CAST(de[i] AS DOUBLE)),
+                      (x, y) -> x + y))), 6) AS cosine
+        FROM stage2
+      )
+      SELECT query_id, doc_id, cosine, rank FROM (
+        SELECT query_id, doc_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+        FROM stage3) WHERE rank <= 5
     """
 
     # E2LSH bucket hash with the SAME 6-decimal projection literals the

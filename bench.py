@@ -253,12 +253,16 @@ def main() -> None:
         return wall_hi, wall_lo, hi["n_turns"], hi["n_clusters"]
 
     def _finish(pairs: list[tuple[float, float, int, int]]) -> None:
-        # best adjacent pair: host noise can only DESTROY scaling (a stolen
-        # core / serialized fault slows the wall it hits), never fabricate
-        # it, so over repeated pairs the max efficiency is the best estimate
-        # of the noise-free ratio; every raw wall is still in `queries`.
-        best = max(pairs, key=lambda p: p[1] / p[0])
-        wall_hi, wall_lo, n_turns, _ = best
+        # min PER LEVEL across pairs: host noise can only INFLATE a wall (a
+        # stolen core / serialized fault slows whatever it hits), so the min
+        # over repeated measurements of one level estimates that level's
+        # noise-free wall, and the ratio of mins estimates the noise-free
+        # efficiency — without cherry-picking a pair (a degraded lo run
+        # otherwise reports implausible >1 efficiency, a degraded hi run
+        # implausibly low). Every raw wall stays in `queries`.
+        wall_hi = min(p[0] for p in pairs)
+        wall_lo = min(p[1] for p in pairs)
+        n_turns = pairs[0][2]
         eff = (wall_lo / wall_hi) / (SCALE_HI / SCALE_LO)
         results["dedup_pipeline"] = wall_hi
         results[f"dedup_pipeline_c{SCALE_LO}"] = wall_lo
@@ -283,12 +287,13 @@ def main() -> None:
     results.update(q["queries"])
     _emit(results, extra)
 
-    # one bounded retry LAST: if the first pair landed in a degraded host
-    # phase, measure a second adjacent pair with whatever budget remains.
-    # Ordering makes this near-free: every earlier phase already emitted its
+    # one bounded retry LAST: if the first pair's ratio is implausible in
+    # EITHER direction (degraded hi -> too low; degraded lo -> superlinear),
+    # measure a second adjacent pair with whatever budget remains. Ordering
+    # makes this near-free: every earlier phase already emitted its
     # cumulative line, so a driver timeout mid-retry only loses the retry.
-    if (pairs[0][1] / pairs[0][0]) / (SCALE_HI / SCALE_LO) < 0.65 \
-            and time.perf_counter() - t_start < 600:
+    eff1 = (pairs[0][1] / pairs[0][0]) / (SCALE_HI / SCALE_LO)
+    if (eff1 < 0.65 or eff1 > 0.98) and time.perf_counter() - t_start < 600:
         pairs.append(_scaling_pair("_p2"))
         _finish(pairs)
 

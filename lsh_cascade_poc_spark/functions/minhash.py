@@ -79,28 +79,43 @@ def minhash_flat(
     return out
 
 
+def storage_lanes(sig: np.ndarray) -> np.ndarray:
+    """int64 signature matrix -> int32 STORAGE lanes (low 32 bits).
+
+    MinHash agreement compares the IDENTITY of each lane's minimizing
+    shingle, not the value: the low-32-bit projection preserves
+    equal-shingle => equal-lane exactly and adds cross-collisions at
+    2^-32/lane — invisible next to the estimator's Binomial(n_perm, J)
+    noise and the banding false-positive rate (verify is exact Jaccard
+    regardless). Payoff: the minhash column is the dominant term of the
+    persistent signature table (README "Scale math"), and int32 lanes
+    halve it (~180 TB -> ~95 TB at 10^12 turns)."""
+    return (sig.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.int32)
+
+
 def minhash_numpy(shingle_sets: list[np.ndarray], n_perm: int, seed: int) -> np.ndarray:
-    """Reference implementation over a list of per-doc shingle-hash arrays.
-    Test oracle: must equal the pandas_udf output lane-for-lane."""
+    """Reference implementation over a list of per-doc shingle-hash arrays,
+    in STORAGE form (int32 lanes). Test oracle: must equal the pandas_udf
+    output lane-for-lane."""
     a, b = make_perms(n_perm, seed)
     if not shingle_sets:
-        return np.empty((0, n_perm), dtype=np.int64)
+        return np.empty((0, n_perm), dtype=np.int32)
     flat = (
         np.concatenate([np.asarray(s, dtype=np.int64) for s in shingle_sets])
         if any(len(s) for s in shingle_sets)
         else np.empty(0, dtype=np.int64)
     )
     offsets = np.cumsum([0] + [len(s) for s in shingle_sets[:-1]], dtype=np.int64)
-    return minhash_flat(flat, offsets, a, b)
+    return storage_lanes(minhash_flat(flat, offsets, a, b))
 
 
 def make_minhash_udf(n_perm: int, seed: int):
-    """pandas_udf: array<long> shingle hashes -> array<long> signature.
-    Iterator form so permutation params are materialized once per worker,
-    not once per batch."""
+    """pandas_udf: array<long> shingle hashes -> array<int> signature
+    (storage lanes). Iterator form so permutation params are materialized
+    once per worker, not once per batch."""
     a, b = make_perms(n_perm, seed)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def minhash_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
             arrays = [
@@ -112,7 +127,7 @@ def make_minhash_udf(n_perm: int, seed: int):
             offsets = np.zeros(len(arrays), dtype=np.int64)
             if len(arrays) > 1:
                 np.cumsum(lengths[:-1], out=offsets[1:])
-            sig = minhash_flat(flat, offsets, a, b)
+            sig = storage_lanes(minhash_flat(flat, offsets, a, b))
             yield pd.Series(list(sig))
 
     return minhash_udf

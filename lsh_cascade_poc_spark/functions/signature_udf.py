@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .minhash import make_perms, minhash_flat
+from .minhash import make_perms, minhash_flat, storage_lanes
 from .simhash import _simhash_flat
 
 _TOKEN_WIDTH = 16  # chars; 'U16' = 64 bytes = 8 uint64 lanes
@@ -84,7 +84,11 @@ def doc_shingles(text: str, k: int) -> np.ndarray:
 
 _SIG_SCHEMA = T.StructType([
     T.StructField("shingles", T.ArrayType(T.LongType())),
-    T.StructField("minhash", T.ArrayType(T.LongType())),
+    # int32 STORAGE lanes (minhash.storage_lanes): halves the dominant
+    # column of the persistent signature table with no banding/estimator
+    # semantics change — agreement compares lane identity, and the exact
+    # verify never reads minhash
+    T.StructField("minhash", T.ArrayType(T.IntegerType())),
     T.StructField("simhash", T.LongType()),
 ])
 
@@ -130,7 +134,7 @@ def make_signature_udf(shingle_k: int, n_perm: int, minhash_seed: int,
         if n_rows > 1:
             np.cumsum(lengths[:-1], out=offsets[1:])
 
-        sig = minhash_flat(flat, offsets, a, b)            # (n, n_perm)
+        sig = storage_lanes(minhash_flat(flat, offsets, a, b))  # (n, n_perm) i32
         sim = _simhash_flat(flat, offsets, n_rows, simhash_bits)
 
         # numpy arrays pass straight through pandas->Arrow conversion as

@@ -25,7 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .config import DedupConfig
-from .functions.minhash import make_perms, minhash_flat
+from .functions.minhash import make_perms, minhash_flat, storage_lanes
 from .functions.simhash import simhash_from_hashes_numpy
 
 # ---------------------------------------------------------------------------
@@ -226,7 +226,7 @@ def run_reference(turn_rows: list[tuple], cfg: DedupConfig | None = None,
         else np.empty(0, dtype=np.int64)
     )
     offsets = np.cumsum([0] + [len(shingles[c]) for c in cids[:-1]], dtype=np.int64)
-    sig_mat = minhash_flat(flat, offsets, a, b)
+    sig_mat = storage_lanes(minhash_flat(flat, offsets, a, b))
     signatures = {c: sig_mat[i] for i, c in enumerate(cids)}
 
     # exact-duplicate collapse: one representative (min conv_id) per distinct

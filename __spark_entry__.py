@@ -22,7 +22,9 @@ exact dedup q_exact_dup_groups; full UDF cascade q_dedup_pairs /
 q_dedup_clusters (rows-only); H9-H11 q_itq_codes (rows-only, production
 kernel) + q_itq_transform (hash-exact oracle of transform+pack); H12/F3
 q_e2lsh_pairs (rows-only, production numpy kernel) + q_e2lsh_buckets
-(hash-exact oracle of the hash definition itself); multimodal q_media_dedup.
+(hash-exact oracle of the hash definition itself); multimodal q_media_dedup
+(rows-only, production extract_features UDF) + q_media_fingerprint_pairs
+(hash-exact oracle of the banded media join + Hamming verify).
 """
 
 from __future__ import annotations
@@ -975,6 +977,48 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup_pairs(media, hamming_tau=4)
 
 
+def q_media_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup JOIN semantics, oracle-exact: the same payload
+    derivation as q_media_dedup (planted dup- pairs), fingerprinted with
+    sha256 (a hash both engines share) instead of the codec-stub feature
+    UDF — 60-bit fingerprint from a hex-nibble fold, 4x4-hex-char band
+    self-join, Hamming <= 4. q_media_dedup keeps the production
+    extract_features UDF contract rows-only; THIS pins the banded media
+    join + Hamming verify cross-engine."""
+    docs = _read(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 100 < 8,
+        F.concat(F.lit("dup-"), F.floor(F.col("doc_id") / 2).cast("string")),
+    ).otherwise(F.col("text"))
+    fp = (
+        "aggregate(transform(sequence(1, 15),"
+        " i -> CAST(instr('0123456789abcdef', substring(h, i, 1)) - 1 AS BIGINT)),"
+        " 0L, (acc, v) -> acc * 16 + v)"
+    )
+    sig = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.sha2(payload, 256).alias("h"),
+    ).select("media_id", F.expr(fp).alias("v"), "h")
+    bands = sig.select(
+        "media_id", "v",
+        F.posexplode(F.array(*[
+            F.substring("h", 1 + 4 * i, 4) for i in range(4)
+        ])).alias("band_id", "band_key"),
+    )
+    a = bands.select("band_id", "band_key", F.col("media_id").alias("id_a"),
+                     F.col("v").alias("v_a"))
+    b = bands.select("band_id", "band_key", F.col("media_id").alias("id_b"),
+                     F.col("v").alias("v_b"))
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("v_a").bitwiseXOR(F.col("v_b"))))
+        .filter(F.col("hamming") <= 4)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_docs": q_normalize_docs,
@@ -1013,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2lsh_multiprobe": q_e2lsh_multiprobe,
         "ivf_topk": q_ivf_topk,
         "media_dedup": q_media_dedup,
+        "media_fingerprint_pairs": q_media_fingerprint_pairs,
     }
 
 
@@ -1497,6 +1542,32 @@ def oracle_sql() -> dict[str, str]:
     sql["e2lsh_buckets"] = "\n      UNION ALL\n      ".join(
         _e2lsh_tbl_select(t) for t in range(a.shape[0])
     )
+
+    sql["media_fingerprint_pairs"] = """
+      WITH sig AS (
+        SELECT doc_id AS media_id,
+               sha256(CASE WHEN doc_id % 100 < 8
+                      THEN 'dup-' || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR)
+                      ELSE text END) AS h
+        FROM documents
+      ),
+      v AS (
+        SELECT media_id, h,
+               list_reduce(list_transform(generate_series(1, 15),
+                   i -> CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)),
+                 (x, y) -> x * 16 + y) AS v
+        FROM sig
+      ),
+      bands AS (
+        SELECT media_id, v, b.band_id, substr(h, 1 + 4 * b.band_id, 4) AS band_key
+        FROM v, (SELECT unnest([0,1,2,3]) AS band_id) b
+      )
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             bit_count(xor(a.v, b.v)) AS hamming
+      FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.v, b.v)) <= 4
+    """
 
     # ITQ transform with the SAME fitted 6-decimal literals q_itq_transform
     # inlines. The fit input must be byte-identical to the Spark query's

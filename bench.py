@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "cosine_topk",
     "minhash_signatures",
     "lsh_band_pairs",
+    "cascade_topk",
+    "e2lsh_buckets",
+    "itq_transform",
+    "media_fingerprint_pairs",
 ]
 
 

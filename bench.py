@@ -296,8 +296,12 @@ def main() -> None:
     # measure a second adjacent pair with whatever budget remains. Ordering
     # makes this near-free: every earlier phase already emitted its
     # cumulative line, so a driver timeout mid-retry only loses the retry.
+    # the guard is deliberately GENEROUS (a deep degraded phase makes the
+    # first pair alone take ~12 min — the exact case that most needs the
+    # retry): since every phase already emitted its cumulative line, a
+    # driver kill mid-retry loses nothing that has landed.
     eff1 = (pairs[0][1] / pairs[0][0]) / (SCALE_HI / SCALE_LO)
-    if (eff1 < 0.65 or eff1 > 0.98) and time.perf_counter() - t_start < 600:
+    if (eff1 < 0.65 or eff1 > 0.98) and time.perf_counter() - t_start < 1200:
         pairs.append(_scaling_pair("_p2"))
         _finish(pairs)
 

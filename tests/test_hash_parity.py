@@ -111,3 +111,31 @@ def test_hamming_identities(spark):
     assert ds[4] == (1, 1)
     for d, dr in ds:
         assert d == dr
+
+
+def test_storage_lanes_preserve_agreement_semantics():
+    """int32 storage truncation (minhash.storage_lanes): equal int64 lanes
+    stay equal (the MinHash agreement property), the empty-set sentinel
+    truncates consistently, and the lane-agreement Jaccard estimate of two
+    related sets is unchanged by truncation (no same-shingle lane can
+    diverge; cross-collisions are 2^-32)."""
+    from lsh_cascade_poc_spark.functions.minhash import (
+        minhash_flat,
+        storage_lanes,
+    )
+
+    rng = np.random.default_rng(9)
+    a_set = np.unique(rng.integers(-(1 << 62), 1 << 62, 400, dtype=np.int64))
+    b_set = np.concatenate([a_set[:200], np.unique(
+        rng.integers(-(1 << 62), 1 << 62, 200, dtype=np.int64))])
+    a, b = make_perms(128, 42)
+    flat = np.concatenate([a_set, b_set])
+    offsets = np.array([0, len(a_set)], dtype=np.int64)
+    full = minhash_flat(flat, offsets, a, b)
+    stored = storage_lanes(full)
+    assert stored.dtype == np.int32 and stored.shape == full.shape
+    # agreement pattern identical pre/post truncation
+    assert np.array_equal(full[0] == full[1], stored[0] == stored[1])
+    # empty set: sentinel lane truncates deterministically
+    empty = minhash_numpy([np.empty(0, np.int64)], 8, 42)
+    assert (empty == empty[0, 0]).all()

@@ -153,8 +153,14 @@ class StageStore:
         fs, mdir = self._fs_path("_metrics")
         fs.create_dir(mdir, recursive=True)
         fname = stage.replace("/", "__")  # per-partition rows: candidates/source=x
+        # uuid uniquifier: wall-clock microseconds alone can collide (coarse
+        # clocks / concurrent stores sharing a work_dir) and would silently
+        # overwrite a sibling metric row
+        import uuid
+
         pq.write_table(
-            table, f"{mdir}/{fname}-{int(time.time() * 1e6)}.parquet",
+            table,
+            f"{mdir}/{fname}-{int(time.time() * 1e6)}-{uuid.uuid4().hex[:8]}.parquet",
             filesystem=fs,
         )
 

@@ -78,9 +78,11 @@ def _band_conf_structs(
         argmin = (F.array_position(abs_slice, F.array_min(abs_slice)) - 1).cast("int")
         key = lane_band_key(F.col(lanes_col), b, band_bits)
         # 1 << argmin with a COLUMN shift amount: pyspark's shiftleft only
-        # takes a literal int, so use an exact power of two (band_bits <= 16,
-        # far below the 2^53 double-exactness bound)
-        flip_mask = F.pow(F.lit(2.0), argmin.cast("double")).cast("long")
+        # takes a literal int, so index into a literal power-of-two table —
+        # exact integers, immune to a 1-ulp-low pow() on any platform
+        flip_mask = F.element_at(
+            F.array(*[F.lit(1 << i) for i in range(band_bits)]), argmin + 1
+        )
         flipped = key.bitwiseXOR(flip_mask)
         entries.append(
             F.struct(

@@ -97,10 +97,13 @@ def e2lsh_candidate_pairs(bucket_table: DataFrame, id_col: str = "vec_id") -> Da
 
 def _probe_deltas(k: int, n_probes: int) -> list[tuple[int, int]]:
     """(delta, coord) perturbation order shared by the numpy reference and the
-    Spark probe expansion: +1 over coords 0..k-1, then -1, capped."""
+    Spark probe expansion: COORDINATE-major, -1 then +1 per coordinate, capped
+    — the reference's generate_multiprobe_keys order
+    (/root/reference/src/e2lsh.py:197-205), so a capped probe set (n_probes <
+    2k) selects the same perturbations the reference would."""
     out: list[tuple[int, int]] = []
-    for delta in (1, -1):
-        for i in range(k):
+    for i in range(k):
+        for delta in (-1, 1):
             if len(out) >= n_probes:
                 return out
             out.append((delta, i))
@@ -153,17 +156,15 @@ def e2lsh_query_candidates(
 
 
 def multiprobe_buckets_numpy(bucket: np.ndarray, n_probes: int) -> list[np.ndarray]:
-    """H13: ±1 perturbations of a (k,) bucket tuple, nearest-first (one
-    coordinate at a time), capped at n_probes (excluding the base bucket)."""
+    """H13: ±1 perturbations of a (k,) bucket tuple in the reference's
+    coordinate-major (-1, +1 per coordinate) order, capped at n_probes
+    (excluding the base bucket; the reference counts the base against its
+    max_perturbations cap — callers converting reference caps subtract 1)."""
     probes = []
-    k = bucket.shape[0]
-    for delta in (1, -1):
-        for i in range(k):
-            p = bucket.copy()
-            p[i] += delta
-            probes.append(p)
-            if len(probes) >= n_probes:
-                return probes
+    for delta, i in _probe_deltas(bucket.shape[0], n_probes):
+        p = bucket.copy()
+        p[i] += delta
+        probes.append(p)
     return probes
 
 

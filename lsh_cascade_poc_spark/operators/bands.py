@@ -102,8 +102,12 @@ def cap_hot_bands(
         counts = counts.persist()
         persist_registry.append(counts)
     hot = counts.filter(F.col("n_docs") > cap)
+    # hot keys are outliers BY CONSTRUCTION (buckets above the cap), so the
+    # anti-join build side is tiny: broadcast it and the band table passes
+    # through with NO shuffle — without the hint Spark costs the anti-join
+    # from the full counts-table estimate and shuffles both sides
     kept = bands.join(
-        hot.select("tier", "band_id", "band_key"),
+        F.broadcast(hot.select("tier", "band_id", "band_key")),
         ["tier", "band_id", "band_key"],
         "left_anti",
     )

@@ -36,7 +36,10 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect strictly-larger neighbors to the component-wise minimum."""
+    """Connect strictly-larger neighbors to the component-wise minimum.
+    Output is already CANONICAL (src > dst, no self-loops, distinct): emitted
+    pairs are (v, m) with v > original src >= m — re-canonicalizing it would
+    add a full extra shuffle per round for nothing."""
     # symmetric neighbor list
     nbrs = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -53,7 +56,8 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Connect smaller-or-equal neighbors to the minimum."""
+    """Connect smaller-or-equal neighbors to the minimum. Like _large_star,
+    the output is already canonical (src > dst or dropped, distinct)."""
     directed = edges.select("src", "dst")  # src > dst by canonical form
     mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
     moved = (
@@ -97,21 +101,20 @@ def connected_components(
         edges = edges.localCheckpoint(eager=False)
     sig = _signature(edges)
 
-    for _ in range(max_iterations):
-        after_large = _canonical(
-            _large_star(edges).select(
-                F.col("src").alias("id_a"), F.col("dst").alias("id_b")
-            )
-        )
-        after_small = _canonical(
-            _small_star(after_large).select(
-                F.col("src").alias("id_a"), F.col("dst").alias("id_b")
-            )
-        )
+    # TWO large/small rounds per convergence check: each check is a driver
+    # round-trip (collect) plus a lineage checkpoint, and they dominate the
+    # stage's serial wall. Star outputs stay canonical by construction (see
+    # _large_star/_small_star docstrings), so chaining two rounds inside one
+    # job is safe; the cost is at most one redundant round at the fixpoint,
+    # where the edge set is tiny.
+    for _ in range(max(1, (max_iterations + 1) // 2)):
+        after = edges
+        for _r in range(2):
+            after = _small_star(_large_star(after))
         if checkpoint_each_round:
-            after_small = after_small.localCheckpoint(eager=False)
-        new_sig = _signature(after_small)
-        edges = after_small
+            after = after.localCheckpoint(eager=False)
+        new_sig = _signature(after)
+        edges = after
         if new_sig == sig:
             break
         sig = new_sig

@@ -64,13 +64,14 @@ def pairs_with_min_match(bands: DataFrame, min_match: int) -> DataFrame:
 
 
 def survivors(pairs: DataFrame) -> DataFrame:
-    """Distinct doc ids appearing in any candidate pair — the semi-join
-    input that gates the next (tighter) cascade tier, mirroring how the
-    reference's Stage 2 only touches Stage-1 survivors (src/pipeline.py:91-97)."""
-    return (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
+    """Doc ids appearing in any candidate pair — the semi-join input that
+    gates the next (tighter) cascade tier, mirroring how the reference's
+    Stage 2 only touches Stage-1 survivors (src/pipeline.py:91-97).
+    NOT deduplicated: the only consumer is a left-semi join, which tolerates
+    duplicates — a distinct here would add a full extra shuffle of the pair
+    ids purely to shrink the semi-join's build side."""
+    return pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
     )
 
 

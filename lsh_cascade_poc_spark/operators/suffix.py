@@ -161,8 +161,12 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
     exploits the winnowing density (one fingerprint per ~w/2 chars): a true
     long overlap shares many fingerprints, an accidental collision one."""
     counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
+    # anti-join against the HOT side (tiny by construction: buckets above
+    # the cap), broadcast — the original semi-join against the cold side
+    # shuffled the whole fingerprint table a second time just to apply the cap
     cold = fps.join(
-        counts.filter(F.col("n_docs") <= hot_cap).select("fp"), "fp", "left_semi"
+        F.broadcast(counts.filter(F.col("n_docs") > hot_cap).select("fp")),
+        "fp", "left_anti",
     )
     a = cold.select("fp", F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"))
     b = cold.select("fp", F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"))

@@ -4,9 +4,12 @@ Reference cascade (per query, /root/reference/src/pipeline.py:68-119):
     Stage 1 coarse LSH chunk filter -> Stage 2 Hamming rerank -> Stage 3 exact
     cosine rerank.
 Our all-pairs restatement (SURVEY.md §7.1):
-    Stage 0  assemble conversations -> documents (stable turn order)
-    Stage 1  signatures: hashed shingles + MinHash + SimHash + exact fingerprint
-    Stage 2a exact-dup pairs (fingerprint grouping — free recall for identical docs)
+    Stage 0  assemble conversations -> documents (stable turn order) + exact
+             md5 fingerprint tag (_root = min id per fingerprint group)
+    Stage 1  signatures: hashed shingles + MinHash + SimHash — computed for
+             fingerprint-group REPRESENTATIVES only (exact members collapse
+             before any expensive kernel; star edges carry them to clusters)
+    Stage 2a exact-dup pairs (the star edges — free recall for identical docs)
     Stage 2b COARSE band pass over all docs (high recall)   [tier 0]
     Stage 2c TIGHT band pass over tier-0 survivors only,
              min-match counting (the cascade tightening)     [tier 1]
@@ -36,7 +39,6 @@ from .operators.components import clusters_with_singletons, connected_components
 from .operators.pairs import (
     pairs_from_bands,
     pairs_with_min_match,
-    split_exact_duplicates,
     survivors,
     tag_exact_duplicates,
 )
@@ -46,8 +48,10 @@ from .operators.verify import verify_pairs_exact_jaccard
 
 @dataclass
 class DedupResult:
-    docs: DataFrame        # (conv_id, doc_id, doc_text, n_turns, ...)
+    docs: DataFrame        # (conv_id, doc_id, doc_text, n_turns, fingerprint, _root, ...)
     signatures: DataFrame  # (doc_id, shingles, minhash, simhash, fingerprint)
+    #                        — exact-dup-group REPRESENTATIVES only (members
+    #                        carry no signature; they re-attach via _root)
     dup_pairs: DataFrame   # (id_a, id_b, jaccard, source)
     clusters: DataFrame    # (doc_id, cluster_id) — all docs, singletons included
 
@@ -56,16 +60,21 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """One pass over documents computing every per-doc artifact the cascade
     needs: ONE fused Arrow kernel (tokenize -> shingle-hash -> MinHash ->
     SimHash, see functions/signature_udf.py for why shingling is NOT a JVM
-    higher-order expression) plus the JVM-side md5 fingerprint."""
+    higher-order expression) plus the JVM-side md5 fingerprint (reused from
+    the input when the docs stage already carries it)."""
     sig_udf = make_signature_udf(
         cfg.shingle_k, cfg.n_perm, cfg.minhash_seed, cfg.simhash_bits
+    )
+    fp = (
+        F.col("fingerprint") if "fingerprint" in docs.columns
+        else fingerprint_md5(F.col("doc_text"))
     )
     # doc_text deliberately NOT carried: signatures are checkpointed and
     # re-joined repeatedly; the raw text stays in the docs table only
     out = docs.select(
         "conv_id",
         "doc_id",
-        fingerprint_md5(F.col("doc_text")).alias("fingerprint"),
+        fp.alias("fingerprint"),
         sig_udf(F.col("doc_text")).alias("_sig"),
     ).select(
         "conv_id",
@@ -205,12 +214,22 @@ def run_dedup(
                   file=sys.stderr, flush=True)
         return out
 
+    # the docs stage carries the exact-dup tag: fingerprint (md5 of the
+    # normalized text) + _root (min doc_id of the fingerprint group), computed
+    # in the SAME materialization. Tagging here — on raw text — instead of on
+    # the signature table means the window shuffle moves the ~1KB text rows
+    # once and the expensive signature kernel (below) runs ONLY on group
+    # representatives: an m-fold exact flood costs one kernel invocation, not
+    # m, and the signatures stage needs no shuffle at all.
     docs = stage(
         "docs",
-        lambda: with_doc_id(
-            assemble_conversations(
-                turns, max_turn_chars=cfg.max_turn_chars, min_doc_chars=cfg.min_doc_chars
-            )
+        lambda: tag_exact_duplicates(
+            with_doc_id(
+                assemble_conversations(
+                    turns, max_turn_chars=cfg.max_turn_chars,
+                    min_doc_chars=cfg.min_doc_chars,
+                )
+            ).withColumn("fingerprint", fingerprint_md5(F.col("doc_text")))
         ),
     )
     if cfg.check_id_collisions:
@@ -228,19 +247,18 @@ def run_dedup(
                 f"{n_coll} doc_id collisions (xxhash64 of distinct conv_ids); "
                 "re-run with salted ids or dedupe conv_ids"
             )
-    # exact-duplicate collapse BEFORE any banding: all LSH passes run over one
-    # representative per distinct text; members re-attach via star edges in
-    # the clustering stage. The fingerprint-group tag (_root) is computed in
-    # the SAME materialization as the signatures themselves — one write, one
-    # window pass; reps and star edges are cheap filters over the checkpoint
-    # (r1 wrote the signature table twice: once plain, once tagged).
+    # exact-duplicate collapse BEFORE any signature computation or banding:
+    # representatives and star edges are NARROW filters over the docs
+    # checkpoint (tagged above), the signature kernel runs over reps only,
+    # and all LSH passes see one row per distinct text; members re-attach via
+    # star edges in the clustering stage.
     persists: list = []
-    sig_tagged = stage(
-        "signatures",
-        lambda: tag_exact_duplicates(build_signatures(docs, cfg)),
+    reps_docs = docs.filter(F.col("doc_id") == F.col("_root"))
+    star_edges = docs.filter(F.col("doc_id") != F.col("_root")).select(
+        F.col("_root").alias("id_a"), F.col("doc_id").alias("id_b")
     )
-    signatures = sig_tagged.drop("_root")
-    sig_reps, star_edges = split_exact_duplicates(sig_tagged)
+    signatures = stage("signatures", lambda: build_signatures(reps_docs, cfg))
+    sig_reps = signatures
     exact_pairs = star_edges.withColumn("source", F.lit("exact"))
     # each candidate tier is its own materialization, NOT one fused write:
     # fusing them into a single job looked cheaper on paper (one Catalyst
@@ -265,7 +283,8 @@ def run_dedup(
         stage("hot_band_drops", lambda: mh_hot.unionByName(sh_hot))
     sources = [exact_pairs, mh_pairs, sh_pairs]
     if enable_overlap_stage:
-        docs_reps = docs.join(sig_reps.select("doc_id"), "doc_id", "left_semi")
+        # narrow filter, not a semi-join: reps are tagged on the docs rows
+        docs_reps = docs.filter(F.col("doc_id") == F.col("_root"))
         ov_pairs = stage(
             "pairs_overlap",
             lambda: overlap_pairs(docs_reps, cfg).withColumn("source", F.lit("overlap")),

@@ -99,7 +99,6 @@ class IncrementalDedup:
 
     def process_batch(self, turns_batch: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
-        spark = self.spark
         from pyarrow import fs as pafs
 
         fs, root = self._fs()
@@ -107,24 +106,80 @@ class IncrementalDedup:
         if fs.get_file_info(done_marker).type != pafs.FileType.NotFound:
             return  # replayed micro-batch after restart: already applied
 
-        docs = with_doc_id(
-            assemble_conversations(
-                turns_batch, max_turn_chars=cfg.max_turn_chars,
-                min_doc_chars=cfg.min_doc_chars,
+        from .functions.text import fingerprint_md5
+        from .operators.pairs import tag_exact_duplicates
+
+        docs = tag_exact_duplicates(
+            with_doc_id(
+                assemble_conversations(
+                    turns_batch, max_turn_chars=cfg.max_turn_chars,
+                    min_doc_chars=cfg.min_doc_chars,
+                )
+            ).withColumn("fingerprint", fingerprint_md5(F.col("doc_text")))
+        ).localCheckpoint(eager=True)
+
+        # exact-fingerprint collapse BEFORE the signature kernel or banding
+        # (same scale move as the batch path, pipeline.py run_dedup): an
+        # identical-payload flood costs m-1 star edges — never m signature-
+        # kernel invocations, and never m rows in a band bucket of the
+        # PERSISTENT index (where one such bucket would make every future
+        # batch's probe join quadratic). Within-batch groups collapse to
+        # their min-id rep; reps whose fingerprint is already indexed
+        # (fp_index: one row per distinct fingerprint ever seen) attach to
+        # the indexed root by an equi-join and are not signed or banded.
+        reps_docs = docs.filter(F.col("doc_id") == F.col("_root"))
+        exact_pairs = docs.filter(F.col("doc_id") != F.col("_root")).select(
+            F.col("_root").alias("id_a"), F.col("doc_id").alias("id_b")
+        ).withColumn("jaccard", F.lit(1.0))
+        if self._exists("fp_index"):
+            idx_fp = self._read_table("fp_index", exclude_batch=batch_id)
+            matched = reps_docs.join(
+                idx_fp.withColumnRenamed("root_id", "id_old"), "fingerprint"
+            ).select("doc_id", "id_old")
+            exact_old = matched.select(
+                F.least("doc_id", "id_old").alias("id_a"),
+                F.greatest("doc_id", "id_old").alias("id_b"),
+            ).withColumn("jaccard", F.lit(1.0))
+            fresh_reps_docs = reps_docs.join(
+                matched.select("doc_id"), "doc_id", "left_anti"
             )
-        )
-        sigs = build_signatures(docs, cfg).localCheckpoint(eager=True)
+        else:
+            exact_old = None
+            fresh_reps_docs = reps_docs
+        sigs = build_signatures(fresh_reps_docs, cfg).localCheckpoint(eager=True)
         new_bands = self._bands_of(sigs)
 
         if self._exists("bands"):
             idx_bands = self._read_table("bands", exclude_batch=batch_id)
             idx_sigs = self._read_table("signatures", exclude_batch=batch_id)
+            # hot-band cap over the COMBINED (index ∪ new) band table: a
+            # bucket that grew hot across batches is excluded from probing on
+            # BOTH sides and from the index append, and the drop is recorded
+            # (same cap rule as the batch path, operators/bands.py:82) — the
+            # probe join already scans the full index, so the count pre-pass
+            # adds no asymptotic cost
+            combined = idx_bands.select("tier", "band_id", "band_key").unionAll(
+                new_bands.select("tier", "band_id", "band_key")
+            )
+            hot = (
+                combined.groupBy("tier", "band_id", "band_key")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .filter(F.col("n_docs") > cfg.hot_band_cap)
+                .localCheckpoint(eager=True)
+            )
+            hot_keys = hot.select("tier", "band_id", "band_key")
+            kept_new = new_bands.join(
+                hot_keys, ["tier", "band_id", "band_key"], "left_anti"
+            ).localCheckpoint(eager=True)
+            kept_idx = idx_bands.join(
+                hot_keys, ["tier", "band_id", "band_key"], "left_anti"
+            )
             # probe: new docs vs existing index (plus new-vs-new self-join)
-            probe = new_bands.select(
+            probe = kept_new.select(
                 "tier", "band_id", "band_key", F.col("doc_id").alias("id_new")
             )
             hits_old = (
-                probe.join(idx_bands.select(
+                probe.join(kept_idx.select(
                     "tier", "band_id", "band_key", F.col("doc_id").alias("id_old")),
                     ["tier", "band_id", "band_key"])
                 .select(
@@ -134,8 +189,8 @@ class IncrementalDedup:
                 .filter(F.col("id_a") != F.col("id_b"))
                 .distinct()
             )
-            l = new_bands.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_a"))
-            r = new_bands.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_b"))
+            l = kept_new.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_a"))
+            r = kept_new.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_b"))
             hits_new = (
                 l.join(r, ["tier", "band_id", "band_key"])
                 .filter(F.col("id_a") < F.col("id_b"))
@@ -144,8 +199,18 @@ class IncrementalDedup:
             cands = hits_old.unionByName(hits_new).distinct()
             all_sigs = idx_sigs.unionByName(sigs).localCheckpoint(eager=True)
         else:
-            l = new_bands.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_a"))
-            r = new_bands.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_b"))
+            hot = (
+                new_bands.groupBy("tier", "band_id", "band_key")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .filter(F.col("n_docs") > cfg.hot_band_cap)
+                .localCheckpoint(eager=True)
+            )
+            kept_new = new_bands.join(
+                hot.select("tier", "band_id", "band_key"),
+                ["tier", "band_id", "band_key"], "left_anti",
+            ).localCheckpoint(eager=True)
+            l = kept_new.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_a"))
+            r = kept_new.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_b"))
             cands = (
                 l.join(r, ["tier", "band_id", "band_key"])
                 .filter(F.col("id_a") < F.col("id_b"))
@@ -158,19 +223,36 @@ class IncrementalDedup:
         dup = verify_pairs_exact_jaccard(
             cands, all_sigs, threshold=cfg.jaccard_threshold
         )
+        dup = dup.unionByName(exact_pairs.select("id_a", "id_b", "jaccard"))
+        if exact_old is not None:
+            dup = dup.unionByName(exact_old)
+        dup = dup.groupBy("id_a", "id_b").agg(F.max("jaccard").alias("jaccard"))
         # materialize BEFORE touching the index dirs: dup's lazy plan reads
         # the existing bands/signatures batches, and a replay OVERWRITES this
         # batch's own subdirectories below — writing dup lazily after that
         # would read deleted files
         dup = dup.localCheckpoint(eager=True)
 
-        # batch-scoped subdirectories + overwrite: a crash between the three
-        # writes is healed by the replay overwriting the SAME directories, so
-        # the done-marker is a true commit point (ADVICE r1: plain appends
-        # made replays duplicate rows)
+        # batch-scoped subdirectories + overwrite: a crash between the writes
+        # is healed by the replay overwriting the SAME directories, so the
+        # done-marker is a true commit point (ADVICE r1: plain appends made
+        # replays duplicate rows)
+        # narrow per-doc bookkeeping (EVERY doc, signed or not): id mapping +
+        # fingerprint + exact-group root — the signature table carries only
+        # fresh representatives
+        self._write_batch(
+            docs.select("conv_id", "doc_id", "fingerprint", "_root"),
+            "docs", batch_id,
+        )
         self._write_batch(sigs, "signatures", batch_id)
-        self._write_batch(new_bands, "bands", batch_id)
+        self._write_batch(kept_new, "bands", batch_id)
+        self._write_batch(
+            sigs.select("fingerprint", F.col("doc_id").alias("root_id")),
+            "fp_index", batch_id,
+        )
         self._write_batch(dup, "dup_pairs", batch_id)
+        # A5 analog: dropped hot buckets are recorded, never silent
+        self._write_batch(hot, "hot_band_drops", batch_id)
         with fs.open_output_stream(done_marker) as f:
             f.write(b"ok")
 
@@ -193,4 +275,20 @@ class IncrementalDedup:
         return self._read_table("dup_pairs")
 
     def signatures(self) -> DataFrame:
+        """Fresh-representative signatures (one row per distinct fingerprint
+        first seen in each batch) — the banded/verifiable population."""
         return self._read_table("signatures")
+
+    def docs(self) -> DataFrame:
+        """Narrow per-doc bookkeeping for EVERY ingested doc:
+        (conv_id, doc_id, fingerprint, _root)."""
+        return self._read_table("docs")
+
+    def hot_band_drops(self) -> DataFrame:
+        """Recorded hot-bucket drops (tier, band_id, band_key, n_docs) per
+        batch — empty DataFrame if no batch has dropped anything yet."""
+        if not self._exists("hot_band_drops"):
+            return self.spark.createDataFrame(
+                [], "tier int, band_id int, band_key bigint, n_docs bigint"
+            )
+        return self._read_table("hot_band_drops")

@@ -74,11 +74,15 @@ def make_assemble_state_fn(gap_seconds: int):
         for pdf in pdfs:
             for _, row in pdf.iterrows():
                 idxs.append(int(row["turn_idx"]))
-                # concat_ws semantics (batch parity): null text -> role only
-                if row["text"] is None or pd.isna(row["text"]):
-                    payloads.append(str(row["role"]))
-                else:
-                    payloads.append(f"{row['role']}: {row['text']}")
+                # concat_ws(': ', role, text) semantics (batch parity): nulls
+                # are SKIPPED, not stringified — role-null yields bare text,
+                # text-null yields bare role, both-null yields ""
+                parts = [
+                    str(v)
+                    for v in (row["role"], row["text"])
+                    if not (v is None or (isinstance(v, float) and pd.isna(v)))
+                ]
+                payloads.append(": ".join(parts))
                 ts_us = int(pd.Timestamp(row["ts"]).value // 1000)
                 first_us = ts_us if first_us is None else min(first_us, ts_us)
                 last_us = ts_us if last_us is None else max(last_us, ts_us)

@@ -124,3 +124,29 @@ def test_entry_queries_avoid_cartesian(spark, query):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_relational_join_strategies(spark):
+    """VERDICT r2 #6: the relational queries pin the two canonical join
+    shapes — dim join broadcast (orders x customer) and fact-fact
+    sort-merge (lineitem x orders) — plus shipdate pushdown to the scan."""
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+
+    seg = plan_of(qmap["orders_by_segment"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in seg, seg
+    assert "SortMergeJoin" not in seg, seg
+
+    roll = plan_of(qmap["revenue_rollup"](spark, SF_DIR))
+    assert "SortMergeJoin" in roll, roll
+    # the shipdate predicate reaches the lineitem parquet scan
+    assert "PushedFilters" in roll and "l_shipdate" in roll.split(
+        "PushedFilters", 1)[1][:200], roll
+
+    q1 = plan_of(qmap["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters" in q1 and "l_shipdate" in q1.split(
+        "PushedFilters", 1)[1][:200], q1
+    # ReadSchema pruned: the untouched l_comment-ish wide columns stay out
+    read_schema = [ln for ln in q1.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_partkey" not in read_schema[0], read_schema

@@ -6,12 +6,17 @@ audio / video payloads travel as ``binary`` columns with a typed metadata
 struct, and per-modality kernels (decode, feature-extract, resize,
 frame-sample) run as Arrow-batched ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the DECODE step is stubbed: with
-``deterministic_fake=True`` kernels derive features from the payload bytes
-(stable, testable); with ``deterministic_fake=False`` they raise
-NotImplementedError("codec not available in this environment") at the point
-a real build would call the codec. Everything Spark-side — schemas, batch
-iteration, partitioning, output contracts — is real and tested.
+Codec reality, by modality (VERDICT r2 #8):
+  audio  REAL decode via the stdlib ``wave`` module (WAV/PCM) — executable
+         in this container and covered by tests/test_multimodal.py
+  image  REAL decode via PIL when importable (env-gated test, skipped where
+         PIL is absent), NotImplementedError otherwise
+  video  stubbed: no public stdlib demuxer; NotImplementedError
+With ``deterministic_fake=True`` (the default used by the synthetic corpus,
+whose payloads are random bytes, not valid containers) kernels derive
+features from the payload bytes via seeded hashing (stable, testable).
+Everything Spark-side — schemas, batch iteration, partitioning, output
+contracts — is identical on both paths.
 """
 
 from __future__ import annotations
@@ -41,6 +46,43 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_DIM = 64
 
 
+def _real_decode_to_array(payload: bytes, modality: str, n: int) -> np.ndarray:
+    """Real decode per modality -> fixed-dim float32 feature (zero-padded
+    sample/pixel prefix). Raises NotImplementedError exactly where a codec
+    is genuinely unavailable on this host."""
+    import io
+
+    if payload is None:
+        return np.zeros(n, dtype=np.float32)
+    if modality == "audio":
+        import wave
+
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            width = w.getsampwidth()
+            raw = w.readframes(min(w.getnframes(), n))
+        if width != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        samples = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+        out = np.zeros(n, dtype=np.float32)
+        out[: min(n, samples.size)] = samples[:n]
+        return out
+    if modality == "image":
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "image codec (PIL) not available in this environment"
+            ) from e
+        img = Image.open(io.BytesIO(bytes(payload))).convert("L").resize((8, 8))
+        px = np.asarray(img, dtype=np.float32).ravel() / 255.0
+        out = np.zeros(n, dtype=np.float32)
+        out[: min(n, px.size)] = px[:n]
+        return out
+    raise NotImplementedError(
+        f"{modality} codec not available in this environment"
+    )
+
+
 def _fake_decode_to_array(payload: bytes, n: int) -> np.ndarray:
     """Deterministic stand-in for a codec: expand payload bytes into a
     float32 array via seeded hashing (stable across runs/partitions)."""
@@ -66,12 +108,16 @@ def extract_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError("codec not available in this environment")
-            feats = [
-                list(map(float, _fake_decode_to_array(p, dim)))
-                for p in pdf["payload"]
-            ]
+            if deterministic_fake:
+                feats = [
+                    list(map(float, _fake_decode_to_array(p, dim)))
+                    for p in pdf["payload"]
+                ]
+            else:
+                feats = [
+                    list(map(float, _real_decode_to_array(p, m, dim)))
+                    for p, m in zip(pdf["payload"], pdf["modality"])
+                ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
@@ -97,14 +143,32 @@ def resize_images(
     ])
     budget = target_w * target_h
 
+    def _real_resize(p):
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "image codec (PIL) not available in this environment"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(bytes(p))).resize((target_w, target_h))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError("codec not available in this environment")
-            payloads = [
-                (bytes(p)[:budget]).ljust(budget, b"\0") if p is not None else None
-                for p in pdf["payload"]
-            ]
+            if deterministic_fake:
+                payloads = [
+                    (bytes(p)[:budget]).ljust(budget, b"\0") if p is not None else None
+                    for p in pdf["payload"]
+                ]
+            else:
+                payloads = [
+                    _real_resize(p) if p is not None else None
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": payloads,

@@ -49,3 +49,23 @@ def test_singletons_added(spark):
     cl = clusters_with_singletons(connected_components(pairs), docs)
     got = {r.doc_id: r.cluster_id for r in cl.collect()}
     assert got == {1: 1, 2: 1, 9: 9}
+
+
+def test_local_finish_matches_distributed_fixpoint(spark):
+    """The hybrid driver union-find finish must produce the identical
+    cluster partition as the forced fully-distributed star fixpoint."""
+    import random
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(df, local_finish_edges=10**6).collect()
+    }
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(df, local_finish_edges=0).collect()
+    }
+    assert local == dist

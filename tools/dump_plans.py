@@ -117,6 +117,30 @@ def main() -> None:
         "simple",
     ))
 
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    sections.append((
+        "Relational: broadcast dim join (orders x customer)",
+        "The dimension side is broadcast (hinted; at 100 TB the fact side "
+        "shuffles nothing for this join) and the revenue measure is "
+        "pre-quantized to integer milli-units inside the partial aggregate "
+        "— order-independent sums, exact cross-engine.",
+        qmap["orders_by_segment"](spark, SF_DIR),
+        "simple",
+    ))
+
+    sections.append((
+        "Relational: fact-fact sort-merge join + ROLLUP",
+        "lineitem x orders pinned sort-merge (merge hint — both sides are "
+        "large at warehouse scale; AQE would broadcast the toy-scale side "
+        "and hide the shape). The shipdate predicate lands in "
+        "`PushedFilters` on the lineitem scan; `expand` implements the "
+        "rollup grouping sets over the already-aggregated rows.",
+        qmap["revenue_rollup"](spark, SF_DIR),
+        "simple",
+    ))
+
     print("# PLANS — physical plans of the headline operators\n")
     print("Generated by `python tools/dump_plans.py` (sf0.001, local[4], "
           "AQE on; `AdaptiveSparkPlan isFinalPlan=false` is pre-execution "

@@ -752,6 +752,28 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03)
+    from the PRODUCTION kernel (operators/suffix.py make_winnow_udf: numpy
+    uint64-wraparound polynomial rolling hash + rightmost-minimum window
+    selection), oracle-exact (new in r3): the DuckDB oracle reproduces the
+    wraparound arithmetic with HUGEINT mod 2^64 and the rightmost-min rule
+    with an integer-packed windowed min — so the substring stage's
+    fingerprint definition is pinned cross-engine (overlap_pairs itself
+    stays rows-only: the greedy seed-extension verify is imperative).
+    Scope: ASCII-printable docs (utf-8 bytes == code points in both
+    engines) of >= 56 normalized chars (every doc takes the general
+    sliding-window path, m = len-23 > w)."""
+    from lsh_cascade_poc_spark.operators.suffix import winnow_fingerprints
+
+    docs = _docs_normalized(spark, sf_dir).select(
+        "doc_id", F.col("norm_text").alias("doc_text")
+    ).filter(
+        F.col("doc_text").rlike("^[ -~]*$") & (F.length("doc_text") >= 56)
+    )
+    return winnow_fingerprints(docs, k=24, w=32).select("doc_id", "fp", "pos")
+
+
 # --- rows-only (non-SQL-expressible: Arrow UDF kernels / iterative) ---------
 
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_segment": q_orders_by_segment,
         "pricing_summary": q_pricing_summary,
         "revenue_rollup": q_revenue_rollup,
+        "winnow_fps": q_winnow_fps,
         "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "overlap_pairs": q_overlap_pairs,
@@ -1667,6 +1690,51 @@ def oracle_sql() -> dict[str, str]:
              max(CAST(round(value * 1000) AS BIGINT)) AS max_value_milli
       FROM events
       GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
+    """
+
+    # winnowing fingerprints: wraparound uint64 polynomial hash == HUGEINT
+    # mod 2^64; rightmost-min-of-32-hash-window == min over the packed key
+    # ((hu + 2^63) mod 2^64) * 2^21 + (2^20 - pos) — the +2^63 shift maps
+    # SIGNED int64 order (the production kernel winnows over the .view(
+    # np.int64) values) onto unsigned HUGEINT order; tie -> larger pos
+    # (rightmost). Mirrors operators/suffix.py _kgram_hashes_flat (base
+    # 1000003, k=24) + _winnow (w=32) exactly.
+    sql["winnow_fps"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      docs AS (
+        SELECT doc_id, norm_text AS t FROM norm
+        WHERE regexp_full_match(norm_text, '[ -~]*') AND length(norm_text) >= 56
+      ),
+      grams AS (
+        SELECT doc_id, gs.i - 1 AS pos,
+               list_reduce(
+                 list_transform(generate_series(gs.i, gs.i + 23),
+                   j -> CAST(ascii(substr(t, CAST(j AS INT), 1)) AS HUGEINT)),
+                 (acc, v) -> (acc * 1000003 + v)
+                             % 18446744073709551616::HUGEINT
+               ) AS hu
+        FROM docs, unnest(generate_series(1, length(t) - 23)) gs(i)
+      ),
+      keyed AS (
+        SELECT doc_id, pos,
+               ((hu + 9223372036854775808::HUGEINT)
+                % 18446744073709551616::HUGEINT) * 2097152::HUGEINT
+               + (1048576 - pos) AS key
+        FROM grams
+      ),
+      wins AS (
+        SELECT doc_id, pos AS wstart,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+                 AS mkey,
+               count(*) OVER (PARTITION BY doc_id) AS m
+        FROM keyed
+      )
+      SELECT DISTINCT doc_id,
+             CAST(mkey // 2097152::HUGEINT
+                  - 9223372036854775808::HUGEINT AS BIGINT) AS fp,
+             CAST(1048576 - (mkey % 2097152::HUGEINT) AS INT) AS pos
+      FROM wins WHERE wstart <= m - 32
     """
 
     sql["orders_by_segment"] = """

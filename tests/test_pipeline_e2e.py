@@ -166,3 +166,66 @@ def test_store_shingles_false_is_equivalent(spark, tiny_turns):
     c_full = sorted((r.doc_id, r.cluster_id) for r in r_full.clusters.collect())
     c_slim = sorted((r.doc_id, r.cluster_id) for r in r_slim.clusters.collect())
     assert c_full == c_slim
+
+
+def test_exact_flood_collapses_before_kernel(spark, tmp_path):
+    """Batch-side scale invariant (mirrors the streaming flood test): an
+    m-fold identical-payload flood costs ONE signature-kernel row and m-1
+    star edges — never m banded rows — and everything lands in one cluster."""
+    import pandas as pd
+
+    from lsh_cascade_poc_spark.checkpoint import StageStore
+
+    flood = "the same payload text repeated verbatim for every conversation " * 3
+    turns = pd.DataFrame({
+        "conv_id": [f"f{i}" for i in range(12)] + ["solo"],
+        "turn_idx": [0] * 13,
+        "role": ["user"] * 13,
+        "text": [flood] * 12 + ["a completely different singleton document here"],
+        "tool": [None] * 13,
+        "ts": [pd.Timestamp("2026-01-01")] * 13,
+    })
+    df = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp")
+    cfg = DedupConfig(n_perm=32, coarse_n_bands=8, coarse_rows_per_band=4,
+                      tight_n_bands=0, tight_min_match=0, cc_max_iterations=6)
+    store = StageStore(spark=spark, work_dir=str(tmp_path), config_hash="flood")
+    res = run_dedup(spark, df, cfg=cfg, store=store, enable_overlap_stage=False)
+
+    # signature kernel ran once per DISTINCT text
+    assert res.signatures.count() == 2
+    # star topology: 11 exact edges, no quadratic pair blowup
+    pairs = res.dup_pairs.collect()
+    assert len(pairs) == 11
+    assert all(r.jaccard == 1.0 for r in pairs)
+    # one flood cluster + one singleton
+    clusters = {}
+    for r in res.clusters.collect():
+        clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
+    sizes = sorted(len(v) for v in clusters.values())
+    assert sizes == [1, 12]
+
+
+def test_empty_and_all_filtered_corpus(spark, tmp_path):
+    """Degenerate inputs: an empty turns frame and one where every doc falls
+    under min_doc_chars must produce empty-but-well-formed outputs."""
+    import pandas as pd
+
+    from lsh_cascade_poc_spark.checkpoint import StageStore
+
+    short = pd.DataFrame({
+        "conv_id": ["a", "b"], "turn_idx": [0, 0], "role": ["user", "user"],
+        "text": ["hi", "yo"], "tool": [None, None],
+        "ts": [pd.Timestamp("2026-01-01")] * 2,
+    })
+    df = spark.createDataFrame(
+        short, "conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp")
+    cfg = DedupConfig(n_perm=32, coarse_n_bands=4, coarse_rows_per_band=4,
+                      tight_n_bands=0, tight_min_match=0, cc_max_iterations=4)
+    store = StageStore(spark=spark, work_dir=str(tmp_path), config_hash="empty")
+    res = run_dedup(spark, df, cfg=cfg, store=store, enable_overlap_stage=True)
+    assert res.docs.count() == 0          # all below min_doc_chars
+    assert res.dup_pairs.count() == 0
+    assert res.clusters.count() == 0

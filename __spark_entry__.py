@@ -774,6 +774,52 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=24, w=32).select("doc_id", "fp", "pos")
 
 
+def q_prod_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's PRODUCTION shingle kernel + exact-Jaccard verify,
+    oracle-exact (new in r3): functions/signature_udf.py's vectorized token
+    hash (UCS4 codepoint lanes -> 8-step xor-multiply fold -> xxhash-style
+    avalanche, all wraparound uint64) and degree-(k-1) polynomial shingle
+    combine are reproduced in DuckDB with HUGEINT split-multiply mod-2^64
+    arithmetic; pairs with Jaccard >= 0.2 on the resulting shingle SETS are
+    compared. This pins the flagship dedup's tokenizer, shingle hash, and
+    verify arithmetic cross-engine — the remaining rows-only surface of
+    dedup_pairs is only the banding/xxhash64 plumbing (pytest lane-exact).
+    Scope: ASCII-printable docs (identical tokenization in numpy U16 and
+    DuckDB; python str.split also splits on exotic unicode whitespace that
+    SQL string_split would not)."""
+    from lsh_cascade_poc_spark.functions.signature_udf import make_shingles_udf
+
+    docs = _docs_normalized(spark, sf_dir).filter(
+        F.col("norm_text").rlike("^[ -~]*$")
+    )
+    sh = docs.select(
+        "doc_id", make_shingles_udf(5)(F.col("norm_text")).alias("shingles")
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
 # --- rows-only (non-SQL-expressible: Arrow UDF kernels / iterative) ---------
 
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_rollup": q_revenue_rollup,
         "winnow_fps": q_winnow_fps,
+        "prod_shingle_pairs": q_prod_shingle_pairs,
         "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "overlap_pairs": q_overlap_pairs,
@@ -1735,6 +1782,93 @@ def oracle_sql() -> dict[str, str]:
                   - 9223372036854775808::HUGEINT AS BIGINT) AS fp,
              CAST(1048576 - (mkey % 2097152::HUGEINT) AS INT) AS pos
       FROM wins WHERE wstart <= m - 32
+    """
+
+    # Production shingle kernel (signature_udf.hash_tokens +
+    # shingle_hashes_from_token_hashes) in pure SQL: chained CTEs carry the
+    # uint64 hash state through the 8 xor-multiply lanes + avalanche, with
+    # every (x * m) mod 2^64 split into 32-bit hi/lo parts so no product
+    # exceeds signed-INT128 range. Parity with the numpy kernel is bitwise.
+    _P64 = "18446744073709551616::HUGEINT"
+    _P63 = "9223372036854775808::HUGEINT"
+    _P32 = "4294967296::HUGEINT"
+
+    def _to_s(u: str) -> str:
+        return (f"CAST({u} - CASE WHEN {u} >= {_P63} THEN {_P64}"
+                f" ELSE 0::HUGEINT END AS BIGINT)")
+
+    def _to_u(s: str) -> str:
+        return (f"(CAST({s} AS HUGEINT) + CASE WHEN {s} < 0 THEN {_P64}"
+                f" ELSE 0::HUGEINT END)")
+
+    def _mulmod(a: str, m: int) -> str:
+        lo, hi = m & 0xFFFFFFFF, m >> 32
+        return (f"(({a} * {lo}::HUGEINT) % {_P64}"
+                f" + (({a} * {hi}::HUGEINT) % {_P32}) * {_P32}) % {_P64}")
+
+    _mix_mults = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                  0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+                  0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D]
+    _tok_ctes = ["t0 AS (SELECT doc_id, tok_idx, tok,"
+                 " 11400714785074694791::HUGEINT AS h FROM toks)"]
+    for _i, _m in enumerate(_mix_mults):
+        _lane = (f"(CAST(ascii(substr(tok, {2 * _i + 1}, 1)) AS BIGINT)"
+                 f" + CAST(ascii(substr(tok, {2 * _i + 2}, 1)) AS BIGINT)"
+                 f" * 4294967296)")
+        _x = f"xor({_to_s('h')}, {_lane})"
+        _tok_ctes.append(
+            f"t{_i + 1} AS (SELECT doc_id, tok_idx, tok, "
+            f"{_mulmod(_to_u(_x), _m)} AS h FROM t{_i})"
+        )
+    _x1 = f"xor({_to_s('h')}, {_to_s('h // 8589934592::HUGEINT')})"
+    _tok_ctes.append(
+        f"av1 AS (SELECT doc_id, tok_idx, "
+        f"{_mulmod(_to_u(_x1), 0xC2B2AE3D27D4EB4F)} AS h FROM t8)"
+    )
+    _x2 = f"xor({_to_s('h')}, {_to_s('h // 536870912::HUGEINT')})"
+    _tok_ctes.append(
+        f"av2 AS (SELECT doc_id, tok_idx, {_to_u(_x2)} AS h FROM av1)"
+    )
+    _shingle_fold = _to_s(
+        f"list_reduce(list_slice(ths, i, i + least(5, len(ths)) - 1),"
+        f" (acc, v) -> (acc * 1099511628211::HUGEINT + v) % {_P64})"
+    )
+    sql["prod_shingle_pairs"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      docs AS (
+        SELECT doc_id, norm_text AS t FROM norm
+        WHERE regexp_full_match(norm_text, '[ -~]*')
+      ),
+      toks AS (
+        SELECT doc_id, u.i AS tok_idx, string_split(t, ' ')[u.i] AS tok
+        FROM docs, unnest(generate_series(1, len(string_split(t, ' ')))) u(i)
+      ),
+      {",".join(_tok_ctes)},
+      per_doc AS (
+        SELECT doc_id, list(h ORDER BY tok_idx) AS ths FROM av2 GROUP BY doc_id
+      ),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(ths) - least(5, len(ths)) + 1),
+                 i -> {_shingle_fold})) AS shingles
+        FROM per_doc
+      ),
+      sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT id_a, id_b, n_inter,
+             round(CAST(n_inter AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.2
     """
 
     sql["orders_by_segment"] = """

@@ -792,9 +792,11 @@ def q_prod_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_normalized(spark, sf_dir).filter(
         F.col("norm_text").rlike("^[ -~]*$")
     )
+    # checkpoint: sizes + both self-join sides consume `sh` — without plan
+    # truncation the Arrow shingle kernel would run three times over
     sh = docs.select(
         "doc_id", make_shingles_udf(5)(F.col("norm_text")).alias("shingles")
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     inter = (

@@ -102,12 +102,17 @@ def cap_hot_bands(
         counts = counts.persist()
         persist_registry.append(counts)
     hot = counts.filter(F.col("n_docs") > cap)
-    # hot keys are outliers BY CONSTRUCTION (buckets above the cap), so the
-    # anti-join build side is tiny: broadcast it and the band table passes
-    # through with NO shuffle — without the hint Spark costs the anti-join
-    # from the full counts-table estimate and shuffles both sides
+    # hot keys are OUTLIER buckets, so the anti-join build side is normally
+    # tiny — but its COUNT is bounded only by rows/cap, so a forced
+    # F.broadcast hint would be an unbounded driver collect on a
+    # boilerplate-heavy corpus (millions of distinct over-cap keys at
+    # warehouse scale). The hot side sits directly below an aggregation
+    # (= an AQE query-stage boundary), so AQE sees its ACTUAL size at
+    # runtime and converts the anti-join to broadcast whenever it is under
+    # the threshold; adversarial hot sets degrade to a shuffle join instead
+    # of an OOM.
     kept = bands.join(
-        F.broadcast(hot.select("tier", "band_id", "band_key")),
+        hot.select("tier", "band_id", "band_key"),
         ["tier", "band_id", "band_key"],
         "left_anti",
     )

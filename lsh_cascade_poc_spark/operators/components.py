@@ -102,7 +102,7 @@ def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
     checkpoint_each_round: bool = True,
-    local_finish_edges: int = 1_000_000,
+    local_finish_edges: int = 250_000,
 ) -> DataFrame:
     """pairs(id_a, id_b) -> clusters(doc_id, cluster_id) where cluster_id is
     the minimum doc_id of the component. Singleton nodes (no edges) are not
@@ -114,10 +114,15 @@ def connected_components(
     collected and finished with a driver union-find — the standard hybrid
     (GraphFrames-style) finish. Star rounds strictly preserve components and
     only shrink the edge set, so the local phase computes the same partition
-    the pure-distributed fixpoint would; a 1M-edge collect is ~16MB on the
-    driver, far below any real driver's memory, while saving the O(log^2 n)
-    tail rounds whose per-round cost is pure driver scheduling. Set
-    local_finish_edges=0 to force the fully-distributed fixpoint."""
+    the pure-distributed fixpoint would. The default 250k-edge collect costs
+    on the order of 100MB of TRANSIENT driver memory (collected Row objects
+    + the union-find dicts — Python object overhead, not 16 bytes/edge), a
+    deliberate driver budget that saves the O(log^2 n) tail rounds whose
+    per-round cost is pure driver scheduling; at 10^12-turn scale the dup
+    graph has billions of edges, so early rounds run distributed and the
+    local finish fires only once contraction has actually shrunk the
+    frontier. Set local_finish_edges=0 to force the fully-distributed
+    fixpoint."""
     def _signature(df: DataFrame) -> tuple[int, int]:
         """(edge count, order-independent checksum) — one cheap job per round
         instead of two exceptAll scans; a checksum collision would only cost

@@ -161,11 +161,15 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
     exploits the winnowing density (one fingerprint per ~w/2 chars): a true
     long overlap shares many fingerprints, an accidental collision one."""
     counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
-    # anti-join against the HOT side (tiny by construction: buckets above
-    # the cap), broadcast — the original semi-join against the cold side
-    # shuffled the whole fingerprint table a second time just to apply the cap
+    # anti-join against the HOT side (normally tiny: buckets above the cap)
+    # instead of the original semi-join against the cold side, which
+    # shuffled the whole fingerprint table a second time just to apply the
+    # cap. No forced broadcast hint: the hot-key count is bounded only by
+    # rows/cap, so AQE decides from the aggregation's actual runtime size
+    # (broadcast when small, shuffle join when an adversarial corpus makes
+    # it big — see operators/bands.py cap_hot_bands).
     cold = fps.join(
-        F.broadcast(counts.filter(F.col("n_docs") > hot_cap).select("fp")),
+        counts.filter(F.col("n_docs") > hot_cap).select("fp"),
         "fp", "left_anti",
     )
     a = cold.select("fp", F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"))

@@ -281,7 +281,12 @@ class IncrementalDedup:
 
     def docs(self) -> DataFrame:
         """Narrow per-doc bookkeeping for EVERY ingested doc:
-        (conv_id, doc_id, fingerprint, _root)."""
+        (conv_id, doc_id, fingerprint, _root). NOTE: _root is the
+        WITHIN-BATCH exact-group root only — an exact group straddling
+        batches carries one root per batch, connected through the
+        jaccard=1.0 rows in dup_pairs (the fp_index attachment edges);
+        enumerate global exact groups by grouping on `fingerprint`, or via
+        connected components over dup_pairs."""
         return self._read_table("docs")
 
     def hot_band_drops(self) -> DataFrame:

@@ -63,9 +63,16 @@ def test_media_dedup_finds_planted_payload_dups(spark, media):
 
 
 def test_not_implemented_gate(spark, media):
+    """The real-decode path must FAIL (never silently fall back to the fake)
+    on the synthetic corpus, whose payloads are garbage bytes, not valid
+    containers: video raises NotImplementedError (no public demuxer), audio
+    raises wave.Error (invalid RIFF), image raises a PIL decode error where
+    PIL exists or NotImplementedError where it doesn't."""
     with pytest.raises(Exception) as ei:
         extract_features(media, deterministic_fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+    msg = str(ei.value)
+    assert any(t in msg for t in
+               ("NotImplementedError", "codec", "RIFF", "identify image")), msg
 
 
 def _wav_bytes(samples):

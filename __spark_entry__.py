@@ -13,7 +13,8 @@ H5/H7 q_signbit_hamming_pairs + q_hamming_topk; H6/F1/F4/A3
 q_lsh_band_pairs / q_minhash_signatures; composed 3-stage cascade
 (S1 chunk filter -> S2 Hamming -> S3 cosine) q_cascade_topk (hash-exact);
 H8 q_multiprobe_hamming; F5
-q_confidence_multiprobe; H13 q_e2lsh_multiprobe (rows-only); H18
+q_confidence_multiprobe; H13 q_e2lsh_multiprobe (hash-exact, r3:
+coordinate-major reference probe order over the literal-fold buckets); H18
 q_overlap_segments; R1 q_hamming_topk; R3/R4 q_cosine_topk +
 q_cosine_dup_pairs; R5 q_semijoin_fetch; A1 q_recall_eval; A2 everywhere
 (distinct); F6/A7 q_pivot_prefilter; CC q_cluster_docs; text-analysis
@@ -25,6 +26,17 @@ q_e2lsh_pairs (rows-only, production numpy kernel) + q_e2lsh_buckets
 (hash-exact oracle of the hash definition itself); multimodal q_media_dedup
 (rows-only, production extract_features UDF) + q_media_fingerprint_pairs
 (hash-exact oracle of the banded media join + Hamming verify).
+
+Round-3 hash-exact additions: q_ivf_topk (IVF with fitted centroids as
+literals), q_ann_cascade_topk (composed 3-stage cascade on the ITQ-16
+fold), q_winnow_fps (the production winnowing fingerprint kernel via
+HUGEINT mod-2^64 arithmetic), q_prod_shingle_pairs (the production
+signature kernel's token hash + shingle combine + exact-Jaccard verify),
+and three relational queries over the driver's star-schema tables:
+q_orders_by_segment (broadcast dim join), q_pricing_summary (Q1-style agg
+with scan pushdown), q_revenue_rollup (pinned sort-merge fact join +
+ROLLUP). 36 oracle rows hash-exact, 6 rows-only (float32 production
+kernels and recall-probabilistic composites, pytest-parity-gated).
 """
 
 from __future__ import annotations

@@ -35,8 +35,13 @@ signature kernel's token hash + shingle combine + exact-Jaccard verify),
 and three relational queries over the driver's star-schema tables:
 q_orders_by_segment (broadcast dim join), q_pricing_summary (Q1-style agg
 with scan pushdown), q_revenue_rollup (pinned sort-merge fact join +
-ROLLUP). 36 oracle rows hash-exact, 6 rows-only (float32 production
-kernels and recall-probabilistic composites, pytest-parity-gated).
+ROLLUP). Late round-3: q_prod_band_keys (production MinHash storage lanes +
+Spark xxhash64 band keys reproduced bitwise in HUGEINT SQL) and
+q_prod_lsh_pairs (the composed coarse-tier candidate+verify: band-collision
+self-join + exact Jaccard at the production threshold) — with these, every
+arithmetic stage of the flagship MinHash cascade is cross-engine hash-exact.
+38 oracle rows hash-exact, 6 rows-only (float32 production kernels and
+recall-probabilistic composites, pytest-parity-gated).
 """
 
 from __future__ import annotations
@@ -834,6 +839,90 @@ def q_prod_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prod_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production signature kernel (functions/signature_udf.py) at the
+    PRODUCTION DedupConfig parameters (shingle_k=5, n_perm=128, seed=42)
+    over the ASCII-printable normalized documents — the shared input of the
+    prod_band_keys / prod_lsh_pairs oracle queries."""
+    from lsh_cascade_poc_spark.functions.signature_udf import make_signature_udf
+
+    docs = _docs_normalized(spark, sf_dir).filter(
+        F.col("norm_text").rlike("^[ -~]*$")
+    )
+    # a single small parquet file arrives as ONE scan partition; spread the
+    # Arrow kernel across cores (no-op at real scale where the scan already
+    # has >= defaultParallelism splits)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return docs.select(
+        "doc_id", make_signature_udf(5, 128, 42)(F.col("norm_text")).alias("sig")
+    )
+
+
+def q_prod_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship dedup's COARSE-TIER band keys, oracle-exact (new in r3):
+    production MinHash storage lanes (minhash.make_perms a*x+b over Z/2^64,
+    int32 low-32 storage projection) + the JVM-side xxhash64 band key
+    (operators/bands.py band_keys_column: xxhash64(tier, band_id, 4-lane
+    slice), Spark XXH64 hashInt chain incl. per-element fmix) — both
+    reproduced in DuckDB with HUGEINT mod-2^64 split-multiply arithmetic.
+    Together with prod_shingle_pairs (token hash + shingle combine + exact
+    Jaccard) this makes EVERY arithmetic stage of the production MinHash
+    cascade cross-engine hash-exact; only caps/CC control flow stays
+    pytest-gated. Config mirrors DedupConfig coarse tier: 16 bands x 4
+    rows over the first 64 of 128 lanes, tier=0."""
+    from lsh_cascade_poc_spark.operators.bands import explode_bands
+
+    sig = _prod_signatures(spark, sf_dir)
+    mh = sig.select("doc_id", F.col("sig.minhash").alias("minhash"))
+    return explode_bands(
+        mh, "minhash", tier=0, n_bands=16, rows_per_band=4
+    ).select("doc_id", "band_id", "band_key")
+
+
+def q_prod_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed coarse-tier LSH candidate+verify semantics, oracle-exact
+    (new in r3): production band keys (q_prod_band_keys arithmetic) ->
+    pairs_from_bands distinct band-collision self-join (operators/pairs.py,
+    the pipeline's Stage-1 operator) -> exact Jaccard on the production
+    shingle sets, with the production decision threshold surfaced as
+    is_dup = (jaccard >= DedupConfig.jaccard_threshold). This is the
+    flagship dedup's candidate-generation + verify math end-to-end on one
+    tier, checked hash-exact vs DuckDB."""
+    from lsh_cascade_poc_spark.operators.bands import explode_bands
+    from lsh_cascade_poc_spark.operators.pairs import pairs_from_bands
+
+    # checkpoint: bands and both exact-verify sides consume sig — without
+    # plan truncation the Arrow signature kernel would run three times
+    sig = _prod_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    mh = sig.select("doc_id", F.col("sig.minhash").alias("minhash"))
+    bands = explode_bands(mh, "minhash", tier=0, n_bands=16, rows_per_band=4)
+    cand = pairs_from_bands(bands)
+    sh = sig.select("doc_id", F.col("sig.shingles").alias("shingles"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    n_i = F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(n_i / (F.col("n_a") + F.col("n_b") - n_i), 6),
+        )
+        .withColumn("is_dup", (F.col("jaccard") >= 0.8).cast("int"))
+        .select("id_a", "id_b", "jaccard", "is_dup")
+    )
+
+
 # --- rows-only (non-SQL-expressible: Arrow UDF kernels / iterative) ---------
 
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "winnow_fps": q_winnow_fps,
         "prod_shingle_pairs": q_prod_shingle_pairs,
+        "prod_band_keys": q_prod_band_keys,
+        "prod_lsh_pairs": q_prod_lsh_pairs,
         "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "overlap_pairs": q_overlap_pairs,
@@ -1883,6 +1974,124 @@ def oracle_sql() -> dict[str, str]:
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(n_inter AS DOUBLE)
                   / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.2
+    """
+
+    # Production band keys (operators/bands.py band_keys_column) in pure SQL:
+    # MinHash storage lanes = low-32 int32 of min over (a_i*x + b_i) mod 2^64
+    # (minhash.make_perms literals, seed-derived only), then Spark's
+    # xxhash64(tier, band_id, lane-slice) = a chained XXH64.hashInt fold
+    # (incl. per-element fmix avalanche) — rotations as disjoint-bit
+    # multiply+shift sums, every multiply split 32/32 so no product leaves
+    # signed-INT128 range. Validated bitwise against Spark's xxhash64 on
+    # random int chains and end-to-end at sf0.001/sf0.01.
+    def _rotl(u: str, k: int) -> str:
+        return (f"(({u} * {1 << k}::HUGEINT) % {_P64}"
+                f" + {u} // {1 << (64 - k)}::HUGEINT)")
+
+    def _xoru(u1: str, u2: str) -> str:
+        return _to_u(f"xor({_to_s(u1)}, {_to_s(u2)})")
+
+    _XH1, _XH2 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F
+    _XH3, _XH5 = 0x165667B19E3779F9, 0x27D4EB2F165667C5
+
+    def _xxh_int_steps(input_expr: str) -> list[str]:
+        """Spark XXH64.hashInt(v, seed=h) as 8 chained-CTE updates of the
+        unsigned HUGEINT state column h."""
+        vu = (f"(CAST({input_expr} AS HUGEINT) + CASE WHEN {input_expr} < 0"
+              f" THEN {_P32} ELSE 0::HUGEINT END)")
+        return [
+            f"(h + {_XH5 + 4}::HUGEINT) % {_P64}",
+            _xoru("h", _mulmod(vu, _XH1)),
+            f"({_mulmod(_rotl('h', 23), _XH2)} + {_XH3}::HUGEINT) % {_P64}",
+            _xoru("h", f"(h // {1 << 33}::HUGEINT)"),
+            _mulmod("h", _XH2),
+            _xoru("h", f"(h // {1 << 29}::HUGEINT)"),
+            _mulmod("h", _XH3),
+            _xoru("h", f"(h // {1 << 32}::HUGEINT)"),
+        ]
+
+    from lsh_cascade_poc_spark.functions.minhash import make_perms
+
+    _ma, _mb = make_perms(128, 42)  # production n_perm/seed; coarse uses [0,64)
+    _xu = _to_u("s")
+    _lane_cols = []
+    for _i in range(64):
+        _perm = f"({_mulmod(_xu, int(_ma[_i]))} + {int(_mb[_i])}::HUGEINT) % {_P64}"
+        _low32 = f"(min({_perm}) % {_P32})"
+        _lane_cols.append(
+            f"CAST({_low32} - CASE WHEN {_low32} >= 2147483648::HUGEINT"
+            f" THEN {_P32} ELSE 0::HUGEINT END AS INT) AS l{_i}"
+        )
+    _chain = ["x0 AS (SELECT doc_id, band_id, lv, 42::HUGEINT AS h FROM bbl)"]
+    _n = 0
+    for _e in ["0", "band_id", "lv[band_id * 4 + 1]", "lv[band_id * 4 + 2]",
+               "lv[band_id * 4 + 3]", "lv[band_id * 4 + 4]"]:
+        for _step in _xxh_int_steps(_e):
+            _n += 1
+            _chain.append(
+                f"x{_n} AS (SELECT * REPLACE ({_step} AS h) FROM x{_n - 1})"
+            )
+    _lv = "[" + ", ".join(f"l{_i}" for _i in range(64)) + "]"
+    _band_cte_prefix = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      docs AS (
+        SELECT doc_id, norm_text AS t FROM norm
+        WHERE regexp_full_match(norm_text, '[ -~]*')
+      ),
+      toks AS (
+        SELECT doc_id, u.i AS tok_idx, string_split(t, ' ')[u.i] AS tok
+        FROM docs, unnest(generate_series(1, len(string_split(t, ' ')))) u(i)
+      ),
+      {",".join(_tok_ctes)},
+      per_doc AS (
+        SELECT doc_id, list(h ORDER BY tok_idx) AS ths FROM av2 GROUP BY doc_id
+      ),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(ths) - least(5, len(ths)) + 1),
+                 i -> {_shingle_fold})) AS shingles
+        FROM per_doc
+      ),
+      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      mh AS (SELECT doc_id, {", ".join(_lane_cols)} FROM ex GROUP BY doc_id),
+      lanes AS (SELECT doc_id, {_lv} AS lv FROM mh),
+      bbl AS (
+        SELECT doc_id, b.band_id, lv FROM lanes,
+               (SELECT unnest(generate_series(0, 15)) AS band_id) b
+      ),
+      {",".join(_chain)}
+    """
+
+    sql["prod_band_keys"] = f"""
+      {_band_cte_prefix}
+      SELECT doc_id, band_id, {_to_s('h')} AS band_key FROM x{_n}
+    """
+
+    sql["prod_lsh_pairs"] = f"""
+      {_band_cte_prefix},
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM x{_n} a JOIN x{_n} b
+          ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id
+      ),
+      sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT c.id_a, c.id_b,
+             round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE),
+                   6) AS jaccard,
+             CASE WHEN round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE),
+                   6) >= 0.8 THEN 1 ELSE 0 END AS is_dup
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
     """
 
     sql["orders_by_segment"] = """

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "ann_cascade_topk",
     "ivf_topk",
     "media_fingerprint_pairs",
+    "prod_band_keys",
     "orders_by_segment",
     "pricing_summary",
     "revenue_rollup",

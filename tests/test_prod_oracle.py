@@ -1,0 +1,127 @@
+"""Cross-engine parity of the production banding arithmetic.
+
+Two layers pin q_prod_band_keys / q_prod_lsh_pairs (__spark_entry__):
+  1. a pure-Python model of Spark's XXH64.hashInt chain (the semantics the
+     DuckDB HUGEINT SQL implements) vs the real JVM xxhash64 on random
+     int32 chains — the analog of reference tests/test_lsh.py's
+     hash-core determinism block;
+  2. the full DuckDB oracle SQL vs the Spark production path at sf0.001 —
+     a SECOND scale factor beyond the driver's sf0.01 gate, so the oracle
+     can't silently overfit one dataset.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+M64 = (1 << 64) - 1
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, k: int) -> int:
+    return ((x << k) | (x >> (64 - k))) & M64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * P2) & M64
+    h ^= h >> 29
+    h = (h * P3) & M64
+    h ^= h >> 32
+    return h
+
+
+def _hash_int(v: int, seed: int) -> int:
+    """Spark XXH64.hashInt: 4-byte path incl. fmix; v is an int32."""
+    h = (seed + P5 + 4) & M64
+    h ^= ((v & 0xFFFFFFFF) * P1) & M64
+    h = (_rotl(h, 23) * P2 + P3) & M64
+    return _fmix(h)
+
+
+def xxh64_int_chain(vals: list[int], seed: int = 42) -> int:
+    """Spark xxhash64(c0, c1, ...) over int32 columns: each element's hash
+    becomes the next element's seed (array elements chain identically)."""
+    h = seed
+    for v in vals:
+        h = _hash_int(v, h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_xxh64_int_chain_model_matches_spark(spark):
+    rng = random.Random(7)
+    cases = [
+        [rng.randint(-(2**31), 2**31 - 1) for _ in range(rng.randint(1, 6))]
+        for _ in range(12)
+    ]
+    # one job: a row per case, xxhash64 over the posexploded... simpler —
+    # each case as its own column set in a single select on range(1)
+    exprs = [
+        F.xxhash64(*[F.lit(v).cast("int") for v in vals]).alias(f"h{i}")
+        for i, vals in enumerate(cases)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    for i, vals in enumerate(cases):
+        assert row[f"h{i}"] == xxh64_int_chain(vals), vals
+
+    # the array-slice form band_keys_column actually uses
+    arr = F.array(*[F.lit(i * 917 - 400).cast("int") for i in range(8)])
+    got = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit(0), F.lit(3), F.slice(arr, 3, 4)).alias("h"))
+        .collect()[0]
+        .h
+    )
+    want = xxh64_int_chain([0, 3] + [i * 917 - 400 for i in range(2, 6)])
+    assert got == want
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+def test_prod_band_keys_duckdb_oracle_sf0001(spark):
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (r.doc_id, r.band_id, r.band_key)
+        for r in entry.queries()["prod_band_keys"](spark, SF001).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{SF001}/documents.parquet')"
+    )
+    want = sorted(con.execute(entry.oracle_sql()["prod_band_keys"]).fetchall())
+    assert got == want
+    assert len(got) > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+def test_prod_lsh_pairs_duckdb_oracle_sf0001(spark):
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard, r.is_dup)
+        for r in entry.queries()["prod_lsh_pairs"](spark, SF001).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{SF001}/documents.parquet')"
+    )
+    want = sorted(
+        (a, b, j, d)
+        for a, b, j, d in con.execute(
+            entry.oracle_sql()["prod_lsh_pairs"]
+        ).fetchall()
+    )
+    assert got == want

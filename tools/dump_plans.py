@@ -131,6 +131,19 @@ def main() -> None:
     ))
 
     sections.append((
+        "Production band keys (oracle-exact coarse tier)",
+        "The flagship cascade's per-doc arithmetic as one narrow plan: a "
+        "single fused ArrowEvalPython (the tokenize->shingle->MinHash->"
+        "SimHash kernel crosses to Python exactly once) followed by "
+        "JVM-side xxhash64 band keys + posexplode inside codegen — the "
+        "banding itself never leaves Tungsten. This exact arithmetic is "
+        "hash-checked against a DuckDB HUGEINT reproduction "
+        "(oracle `prod_band_keys`).",
+        qmap["prod_band_keys"](spark, SF_DIR),
+        "simple",
+    ))
+
+    sections.append((
         "Relational: fact-fact sort-merge join + ROLLUP",
         "lineitem x orders pinned sort-merge (merge hint — both sides are "
         "large at warehouse scale; AQE would broadcast the toy-scale side "

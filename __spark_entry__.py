@@ -40,8 +40,10 @@ Spark xxhash64 band keys reproduced bitwise in HUGEINT SQL) and
 q_prod_lsh_pairs (the composed coarse-tier candidate+verify: band-collision
 self-join + exact Jaccard at the production threshold) — with these, every
 arithmetic stage of the flagship MinHash cascade is cross-engine hash-exact.
-38 oracle rows hash-exact, 6 rows-only (float32 production kernels and
-recall-probabilistic composites, pytest-parity-gated).
+Plus q_hash_split: deterministic train/val/test sharding via xxhash64
+(hashLong path reproduced in HUGEINT SQL). 39 oracle rows hash-exact, 6
+rows-only (float32 production kernels and recall-probabilistic composites,
+pytest-parity-gated).
 """
 
 from __future__ import annotations
@@ -923,6 +925,29 @@ def q_prod_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test sharding (new in r3) — the
+    reproducible-split primitive every training-data pipeline needs: a doc's
+    split depends only on its id (stable across runs, partitionings and
+    cluster sizes; adding data never moves an existing doc between splits).
+    bucket = pmod(xxhash64(doc_id), 1000); train < 900 <= val < 950 <= test.
+    Oracle-exact: Spark's XXH64.hashLong (8-byte path) is reproduced in
+    DuckDB HUGEINT mod-2^64 SQL like the hashInt chain of prod_band_keys.
+    The same construct also serves stratified down-sampling ("keep bucket <
+    k"), consistent with the reference's deterministic seeded sampling
+    (/root/reference/run_experiment.py seeded subset selection)."""
+    docs = _read(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1000))
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 # --- rows-only (non-SQL-expressible: Arrow UDF kernels / iterative) ---------
 
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prod_shingle_pairs": q_prod_shingle_pairs,
         "prod_band_keys": q_prod_band_keys,
         "prod_lsh_pairs": q_prod_lsh_pairs,
+        "hash_split": q_hash_split,
         "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "overlap_pairs": q_overlap_pairs,
@@ -2092,6 +2118,40 @@ def oracle_sql() -> dict[str, str]:
       LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
       JOIN sizes sa ON sa.doc_id = c.id_a
       JOIN sizes sb ON sb.doc_id = c.id_b
+    """
+
+    # Deterministic sharding: Spark XXH64.hashLong (8-byte path) on doc_id,
+    # seed 42, as chained CTE steps (same HUGEINT machinery as the hashInt
+    # chain above; validated bitwise on random int64s incl. extremes).
+    _XH4 = 0x85EBCA77C2B2AE63
+    _hl_vu = _to_u("doc_id")
+    _hl_steps = [
+        f"({42 + _XH5 + 8}::HUGEINT) % {_P64}",
+        _xoru("h", _mulmod(_rotl(_mulmod(_hl_vu, _XH2), 31), _XH1)),
+        f"({_mulmod(_rotl('h', 27), _XH1)} + {_XH4}::HUGEINT) % {_P64}",
+        _xoru("h", f"(h // {1 << 33}::HUGEINT)"),
+        _mulmod("h", _XH2),
+        _xoru("h", f"(h // {1 << 29}::HUGEINT)"),
+        _mulmod("h", _XH3),
+        _xoru("h", f"(h // {1 << 32}::HUGEINT)"),
+    ]
+    _hl_ctes = ["h0 AS (SELECT doc_id, 0::HUGEINT AS h FROM documents)"]
+    for _i, _step in enumerate(_hl_steps):
+        _hl_ctes.append(
+            f"h{_i + 1} AS (SELECT doc_id, {_step} AS h FROM h{_i})"
+        )
+    sql["hash_split"] = f"""
+      WITH {",".join(_hl_ctes)},
+      hashed AS (
+        SELECT doc_id,
+               (({_to_s('h')} % 1000) + 1000) % 1000 AS bucket
+        FROM h{len(_hl_steps)}
+      )
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 900 THEN 'train'
+                  WHEN bucket < 950 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM hashed
     """
 
     sql["orders_by_segment"] = """

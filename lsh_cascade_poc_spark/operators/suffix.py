@@ -159,7 +159,15 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
     boilerplate (short repeated turns), not long-overlap evidence — dropped
     before the self-join (quadratic in bucket size). `min_shared_fps`
     exploits the winnowing density (one fingerprint per ~w/2 chars): a true
-    long overlap shares many fingerprints, an accidental collision one."""
+    long overlap shares many fingerprints, an accidental collision one.
+
+    Shape note (measured on the 24.5M-fp bench corpus, local[4]): this
+    countDistinct + codegen self-join formulation beat both a
+    groupBy(fp, doc_id)-dedup-first variant (1.8x slower: the extra
+    keyed shuffle costs more than the dedup saves) and a
+    collect_list-per-fp + higher-order-function pair-explosion variant
+    (5x slower: interpreted lambda expressions + object aggregation lose
+    badly to whole-stage-codegen joins). Don't "simplify" it back."""
     counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
     # anti-join against the HOT side (normally tiny: buckets above the cap)
     # instead of the original semi-join against the cold side, which

@@ -47,6 +47,19 @@ def _hash_int(v: int, seed: int) -> int:
     return _fmix(h)
 
 
+P4 = 0x85EBCA77C2B2AE63
+
+
+def _hash_long(v: int, seed: int = 42) -> int:
+    """Spark XXH64.hashLong: 8-byte path incl. fmix; v is an int64.
+    Returns the SIGNED value Spark's xxhash64 column yields."""
+    h = (seed + P5 + 8) & M64
+    h ^= (_rotl(((v & M64) * P2) & M64, 31) * P1) & M64
+    h = (_rotl(h, 27) * P1 + P4) & M64
+    h = _fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def xxh64_int_chain(vals: list[int], seed: int = 42) -> int:
     """Spark xxhash64(c0, c1, ...) over int32 columns: each element's hash
     becomes the next element's seed (array elements chain identically)."""
@@ -84,6 +97,20 @@ def test_xxh64_int_chain_model_matches_spark(spark):
     assert got == want
 
 
+def test_xxh64_long_model_matches_spark(spark):
+    rng = random.Random(13)
+    vals = [rng.randint(-(2**63), 2**63 - 1) for _ in range(10)] + [
+        0, -1, 1, 2**63 - 1, -(2**63)
+    ]
+    exprs = [
+        F.xxhash64(F.lit(v).cast("long")).alias(f"h{i}")
+        for i, v in enumerate(vals)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    for i, v in enumerate(vals):
+        assert row[f"h{i}"] == _hash_long(v), v
+
+
 SF001 = "/root/testdata/sf0.001"
 
 
@@ -103,6 +130,27 @@ def test_prod_band_keys_duckdb_oracle_sf0001(spark):
     want = sorted(con.execute(entry.oracle_sql()["prod_band_keys"]).fetchall())
     assert got == want
     assert len(got) > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+def test_hash_split_duckdb_oracle_sf0001(spark):
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (r.doc_id, r.bucket, r.split)
+        for r in entry.queries()["hash_split"](spark, SF001).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{SF001}/documents.parquet')"
+    )
+    want = sorted(con.execute(entry.oracle_sql()["hash_split"]).fetchall())
+    assert got == want
+    # split assignment must be a pure function of doc_id (model-checked;
+    # python % is already a positive mod, matching Spark's pmod)
+    for doc_id, bucket, _ in got[:50]:
+        assert bucket == _hash_long(doc_id) % 1000
 
 
 @pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")

@@ -41,9 +41,17 @@ q_prod_lsh_pairs (the composed coarse-tier candidate+verify: band-collision
 self-join + exact Jaccard at the production threshold) — with these, every
 arithmetic stage of the flagship MinHash cascade is cross-engine hash-exact.
 Plus q_hash_split: deterministic train/val/test sharding via xxhash64
-(hashLong path reproduced in HUGEINT SQL). 39 oracle rows hash-exact, 6
-rows-only (float32 production kernels and recall-probabilistic composites,
-pytest-parity-gated).
+(hashLong path reproduced in HUGEINT SQL).
+
+Training-pipeline curation set (late r3, all hash-exact):
+q_repetition_stats (Gopher-style repetition filters, shuffle-free
+within-row HOFs), q_doc_frequency (df/idf corpus head), q_contamination_
+overlap (benchmark decontamination: broadcast the held-out shard's
+shingles against the corpus scan), q_dedup_rate_by_source (post-dedup
+accounting rollup over the cluster assignment), q_semantic_dedup
+(SemDeDup-style within-centroid-cell embedding dedup on the IVF
+quantizer). 44 oracle rows hash-exact, 6 rows-only (float32 production
+kernels and recall-probabilistic composites, pytest-parity-gated).
 """
 
 from __future__ import annotations
@@ -948,6 +956,202 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, §A1.1) repetition quality signals per
+    document: duplicate-token fraction and most-frequent-bigram mass — the
+    filters a pretraining pipeline runs before dedup to drop degenerate
+    (template/boilerplate-looped) documents. Deliberately shuffle-free:
+    everything is within-row higher-order functions (transform/filter/
+    array_distinct) inside whole-stage codegen, so at 100 TB this is a pure
+    map over the corpus scan — no exchange at all (contrast the naive
+    explode + groupBy(doc_id, gram) shape, which shuffles every bigram)."""
+    docs = _docs_normalized(spark, sf_dir)
+    d = (
+        docs.select("doc_id", F.split("norm_text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .withColumn(
+            "grams",
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat_ws(' ', toks[i-1], toks[i]))"
+            ),
+        )
+    )
+    top_gram_cnt = F.expr(
+        "array_max(transform(array_distinct(grams),"
+        " g -> size(filter(grams, x -> x = g))))"
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double"),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(
+            top_gram_cnt.cast("double") / F.size("grams").cast("double"), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency / IDF head: top-50 tokens by df (ties by
+    token) with idf = ln((N+1)/(df+1)) — the corpus-statistics primitive
+    behind stopword lists, tf-idf quality scores and hot-shingle caps.
+    Scale shape: distinct-within-row first (array_distinct before explode,
+    so a token repeated in one doc contributes one row, not its term
+    frequency), then a partial-agg groupBy(token) whose output is vocab-
+    sized (≪ corpus), a 1-row broadcast for N, and a single-reducer top-50
+    window over vocab only."""
+    from pyspark.sql import Window
+
+    docs = _docs_normalized(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.array_distinct(F.split("norm_text", " "))).alias("token")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 6
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("df").desc(), "token")
+    return (
+        dfreq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("token", "df", "idf", "rank")
+    )
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (the decontamination step of a
+    training pipeline, cf. GPT-3 appendix C / Dodge et al. 2021): the held-
+    out shard from q_hash_split's deterministic hashing (bucket >= 950) is
+    the "benchmark set"; report every train-shard document sharing >= 1
+    word-3-gram shingle with it, with how many distinct shingles and how
+    many distinct benchmark docs it hits. Scale shape: the benchmark side
+    is small by construction (the eval sets of a 100 TB pipeline are MBs),
+    so its exploded shingles are broadcast and the corpus side never
+    shuffles — a broadcast hash join against the full scan, then a
+    partial-agg groupBy on doc_id (doc-local keys, no skew)."""
+    sh = _docs_shingled(spark, sf_dir).withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(1000))
+    )
+    bench = (
+        sh.filter(F.col("bucket") >= 950)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s"))
+    )
+    train = sh.filter(F.col("bucket") < 900).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup reporting rollup: cluster assignments (q_cluster_docs) joined
+    back to document metadata, aggregated per source — n_docs, n_clusters
+    and the duplicate rate 1 - clusters/docs. The post-dedup accounting
+    view every corpus curation run publishes (which sources are how
+    redundant). Scale shape: the cluster table is (doc_id, cluster_id) —
+    narrow — and joins the metadata scan on doc_id; the rollup output is
+    one row per source."""
+    clusters = q_cluster_docs(spark, sf_dir)
+    meta = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        clusters.join(meta, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("cluster_id").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style (Abbas et al. 2023) embedding-space dedup: assign
+    every vector to its nearest k-means centroid (the q_ivf_topk quantizer,
+    centroids literal-inlined), compare only WITHIN a cell, and flag any
+    vector with a lower-id cell-mate at cosine >= 0.45 (threshold sits in
+    the synthetic corpus's near-pair range ~0.45-0.51, so the flag set is
+    non-vacuous at sf0.01). Scale shape: the within-cell self-join is the
+    whole point — candidate pairs shrink from n² to Σ|cell|² (with the
+    production hot-cap guarding degenerate cells), and the join shuffles
+    on cell_id, the same bucketed-probe shape as ivf_topk."""
+    import numpy as np
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
+    cents = _ivf_oracle_centroids(x)
+    sims = [
+        F.expr(_IVF_COSFOLD.format(lits=", ".join(f"{v:.6f}D" for v in cents[j])))
+        for j in range(cents.shape[0])
+    ]
+    docs = (
+        emb.select("vec_id", "embedding", F.array(*sims).alias("sims"))
+        .select(
+            "vec_id",
+            "embedding",
+            (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
+            .cast("int")
+            .alias("cell_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dot = (
+        "aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    norm = (
+        "SQRT(aggregate(transform({0}.embedding, x -> CAST(x AS DOUBLE) *"
+        " CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    dups = (
+        a.join(b, "cell_id")
+        .filter(F.expr("a.vec_id < b.vec_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(dot) / (F.expr(norm.format("a")) * F.expr(norm.format("b"))), 6
+            ),
+        )
+        .filter(F.col("cosine") >= 0.45)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        docs.select("vec_id", "cell_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id", "cell_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+        )
+    )
+
+
 # --- rows-only (non-SQL-expressible: Arrow UDF kernels / iterative) ---------
 
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,6 +1653,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prod_band_keys": q_prod_band_keys,
         "prod_lsh_pairs": q_prod_lsh_pairs,
         "hash_split": q_hash_split,
+        "repetition_stats": q_repetition_stats,
+        "doc_frequency": q_doc_frequency,
+        "contamination_overlap": q_contamination_overlap,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
+        "semantic_dedup": q_semantic_dedup,
         "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "overlap_pairs": q_overlap_pairs,
@@ -1681,6 +1890,19 @@ def oracle_sql() -> dict[str, str]:
     """
     # recursive marker must prefix the first CTE in DuckDB
     sql["cluster_docs"] = "WITH RECURSIVE" + sql["cluster_docs"].lstrip()[4:]
+
+    # dedup reporting rollup: the cluster assignment (same recursive CTE)
+    # joined to document metadata and aggregated per source
+    sql["dedup_rate_by_source"] = f"""
+      WITH clusters AS ({sql['cluster_docs']})
+      SELECT d.source,
+             count(*) AS n_docs,
+             count(DISTINCT c.cluster_id) AS n_clusters,
+             round(1.0 - CAST(count(DISTINCT c.cluster_id) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+      GROUP BY d.source
+    """
 
     sql["pivot_prefilter"] = f"""
       WITH sig AS (SELECT vec_id, {_DUCK_SIGNBIT} AS h FROM embeddings),
@@ -2154,6 +2376,67 @@ def oracle_sql() -> dict[str, str]:
       FROM hashed
     """
 
+    sql["contamination_overlap"] = f"""
+      WITH {",".join(_hl_ctes)},
+      hashed AS (
+        SELECT doc_id,
+               (({_to_s('h')} % 1000) + 1000) % 1000 AS bucket
+        FROM h{len(_hl_steps)}
+      ),
+      sh AS ({_DUCK_DOCS_SHINGLED}),
+      -- MATERIALIZED: shb is referenced twice; DuckDB would otherwise
+      -- inline the 9-step HUGEINT hash chain into both branches and its
+      -- optimizer degenerates on the duplicated expression tree (measured:
+      -- >7 min inlined vs 0.3 s materialized at sf0.01)
+      shb AS MATERIALIZED (SELECT sh.doc_id, sh.shingles, hashed.bucket
+              FROM sh JOIN hashed ON sh.doc_id = hashed.doc_id),
+      bench AS (SELECT doc_id AS bench_id, unnest(shingles) AS s
+                FROM shb WHERE bucket >= 950),
+      train AS (SELECT doc_id, unnest(shingles) AS s
+                FROM shb WHERE bucket < 900)
+      SELECT t.doc_id,
+             count(DISTINCT t.s) AS n_shared_shingles,
+             count(DISTINCT b.bench_id) AS n_bench_docs
+      FROM train t JOIN bench b ON t.s = b.s
+      GROUP BY t.doc_id
+    """
+
+    sql["repetition_stats"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      tok AS (SELECT doc_id, string_split(norm_text, ' ') AS toks FROM norm),
+      g AS (
+        SELECT doc_id, toks,
+               list_transform(generate_series(1, len(toks) - 1),
+                   i -> concat_ws(' ', toks[i], toks[i+1])) AS grams
+        FROM tok WHERE len(toks) >= 2
+      )
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE), 6) AS dup_token_frac,
+             round(CAST(list_aggregate(list_transform(list_distinct(grams),
+                       g2 -> len(list_filter(grams, x -> x = g2))), 'max')
+                        AS DOUBLE)
+                   / CAST(len(grams) AS DOUBLE), 6) AS top_bigram_frac
+      FROM g
+    """
+
+    sql["doc_frequency"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      tok AS (SELECT unnest(list_distinct(string_split(norm_text, ' ')))
+                       AS token
+              FROM norm),
+      n AS (SELECT count(*) AS n_docs FROM norm),
+      dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+      ranked AS (
+        SELECT token, df,
+               round(ln((n_docs + 1.0) / (df + 1.0)), 6) AS idf,
+               row_number() OVER (ORDER BY df DESC, token) AS rank
+        FROM dfreq, n
+      )
+      SELECT token, df, idf, rank FROM ranked WHERE rank <= 50
+    """
+
     sql["orders_by_segment"] = """
       SELECT c_mktsegment, o_orderpriority,
              count(*) AS n_orders,
@@ -2442,6 +2725,42 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (
                      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
             FROM scored) WHERE rank <= 10
+        """
+
+        # SemDeDup-style within-cell embedding dedup (q_semantic_dedup):
+        # same quantizer literals; flag = lower-id cell-mate at cosine>=0.45
+        sql["semantic_dedup"] = f"""
+          WITH base AS (
+            SELECT vec_id, embedding, [{sim_list}] AS sims FROM embeddings
+          ),
+          docs AS (
+            SELECT vec_id,
+                   CAST(list_position(sims, list_aggregate(sims, 'max')) - 1
+                        AS INT) AS cell_id,
+                   embedding
+            FROM base
+          ),
+          dups AS (
+            SELECT DISTINCT b.vec_id
+            FROM docs a JOIN docs b
+              ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+            WHERE round(
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(a.embedding[i] AS DOUBLE)
+                         * CAST(b.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)
+                / (SQRT(list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(a.embedding[i] AS DOUBLE)
+                           * CAST(a.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y))
+                   * SQRT(list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(b.embedding[i] AS DOUBLE)
+                           * CAST(b.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y))), 6) >= 0.45
+          )
+          SELECT d.vec_id, d.cell_id,
+                 (dups.vec_id IS NOT NULL) AS is_dup
+          FROM docs d LEFT JOIN dups ON d.vec_id = dups.vec_id
         """
     except Exception:
         pass  # omit these entries -> driver records them rows-only this run

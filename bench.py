@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "ivf_topk",
     "media_fingerprint_pairs",
     "prod_band_keys",
+    "hash_split",
+    "repetition_stats",
+    "doc_frequency",
+    "contamination_overlap",
+    "semantic_dedup",
     "orders_by_segment",
     "pricing_summary",
     "revenue_rollup",

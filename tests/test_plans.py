@@ -150,3 +150,27 @@ def test_relational_join_strategies(spark):
     # ReadSchema pruned: the untouched l_comment-ish wide columns stay out
     read_schema = [ln for ln in q1.splitlines() if "ReadSchema" in ln]
     assert read_schema and "l_partkey" not in read_schema[0], read_schema
+
+
+def test_training_pipeline_query_plans(spark):
+    """Round-3 training-pipeline queries pin their scale shapes:
+    repetition_stats must be a pure map over the scan (its per-doc stats
+    are within-row higher-order functions — any Exchange means the bigram
+    groupBy shape crept back in); contamination_overlap must broadcast the
+    (small by construction) benchmark side, never shuffle-join the corpus."""
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+
+    rep = plan_of(qmap["repetition_stats"](spark, SF_DIR))
+    assert "Exchange" not in rep, rep
+    assert "ArrowEvalPython" not in rep and "BatchEvalPython" not in rep, rep
+
+    cont = plan_of(qmap["contamination_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in cont, cont
+    assert "SortMergeJoin" not in cont, cont
+    assert "CartesianProduct" not in cont, cont
+
+    dfq = plan_of(qmap["doc_frequency"](spark, SF_DIR))
+    # vocab-sized partial agg before the single-reducer top-k window
+    assert "HashAggregate" in dfq, dfq

@@ -45,6 +45,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -180,6 +181,12 @@ def _phase_pipeline(cores: int, n_runs: int) -> dict:
         assert n_clusters in (-1, nc), "pipeline nondeterministic across runs"
         n_clusters = nc
         walls.append(round(wall, 3))
+        # stream one line per RUN (not just one per phase): the parent folds
+        # each wall into the min-per-level estimator and re-emits the
+        # cumulative driver line immediately, so a driver-budget kill
+        # mid-phase records the best estimate as of the last FINISHED run
+        print(json.dumps({"cores": cores, "walls": walls, "n_turns": n_turns,
+                          "n_clusters": n_clusters}), flush=True)
     spark.stop()
     return {"cores": cores, "walls": walls, "n_turns": n_turns,
             "n_clusters": n_clusters}
@@ -202,17 +209,50 @@ def _phase_queries() -> dict:
     return {"queries": results}
 
 
-def _run_child(phase: str, *args: str) -> dict:
-    """Run a phase in a fresh process; its stdout's last line is its JSON."""
+def _run_child(phase: str, *args: str, on_line=None) -> dict:
+    """Run a phase in a fresh process; its stdout's last line is its JSON.
+
+    With on_line, stream the child's stdout and invoke the callback on every
+    intermediate JSON line as it arrives (the pipeline phase prints one line
+    per completed run) — the parent re-emits its cumulative driver line after
+    each, so partial progress survives a driver-budget kill mid-phase."""
     cmd = [sys.executable, os.path.abspath(__file__), "--phase", phase, *args]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
-    for line in reversed(proc.stdout.splitlines()):
+    if on_line is None:
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        stdout, rc, stderr = proc.stdout, proc.returncode, proc.stderr
+    else:
+        # stderr goes to a temp FILE, not a pipe: the parent reads stdout
+        # line-by-line until EOF, so an un-drained stderr pipe would
+        # deadlock the child once Spark's WARN chatter fills the 64KB
+        # buffer on a long run
+        with tempfile.TemporaryFile(mode="w+", encoding="utf-8") as errf:
+            proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                    stderr=errf, text=True)
+            lines: list[str] = []
+            assert proc.stdout is not None
+            for raw in proc.stdout:
+                line = raw.strip()
+                lines.append(line)
+                if line.startswith("{"):
+                    try:
+                        payload = json.loads(line)
+                    except ValueError:
+                        continue  # a malformed line must not kill the bench
+                    # callback errors (e.g. the cluster-determinism assert)
+                    # DO propagate — swallowing them here would surface
+                    # later as an opaque min([]) on an empty wall list
+                    on_line(payload)
+            rc = proc.wait()
+            errf.seek(0)
+            stderr = errf.read()
+        stdout = "\n".join(lines)
+    for line in reversed(stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(
-        f"phase {phase} produced no JSON (rc={proc.returncode}):\n"
-        f"{proc.stderr[-2000:]}"
+        f"phase {phase} produced no JSON (rc={rc}):\n"
+        f"{stderr[-2000:]}"
     )
 
 
@@ -274,18 +314,36 @@ def main() -> None:
         # dest is EXPLICIT (not inferred from cores): with BENCH_SCALE_HI=1
         # or SPARK_GRAFT_CPUS=1 both levels run at 1 core and a cores-based
         # routing would starve walls_lo
-        out = _run_child("pipeline", "--cores", str(cores), "--runs", str(runs))
-        dest.extend(out["walls"])
-        for i, w in enumerate(out["walls"]):
-            results[f"dedup_pipeline{tag}_c{cores}_run{i}"] = w
-        if "n_clusters" in meta:
-            assert meta["n_clusters"] == out["n_clusters"], (
-                f"cluster count differs across parallelism: "
-                f"{meta['n_clusters']} vs {out['n_clusters']}"
-            )
-        meta.update({"n_turns": out["n_turns"], "n_clusters": out["n_clusters"]})
-        extra.update({"n_turns": out["n_turns"], "n_clusters": out["n_clusters"],
-                      "cores_hi": SCALE_HI})
+        n_seen = len(dest)
+
+        def _fold(out: dict) -> None:
+            # one callback per finished RUN: fold the new wall(s) into the
+            # per-level list and re-emit the cumulative line — with the
+            # efficiency estimate once BOTH levels have at least one wall
+            phase_walls = out["walls"]  # phase-local cumulative list
+            fresh = phase_walls[len(dest) - n_seen:]
+            dest.extend(fresh)
+            for i, w in enumerate(phase_walls):
+                results[f"dedup_pipeline{tag}_c{cores}_run{i}"] = w
+            if "n_clusters" in meta:
+                assert meta["n_clusters"] == out["n_clusters"], (
+                    f"cluster count differs across parallelism: "
+                    f"{meta['n_clusters']} vs {out['n_clusters']}"
+                )
+            meta.update({"n_turns": out["n_turns"],
+                         "n_clusters": out["n_clusters"]})
+            extra.update({"n_turns": out["n_turns"],
+                          "n_clusters": out["n_clusters"],
+                          "cores_hi": SCALE_HI})
+            if walls_hi and walls_lo:
+                _finish()
+            else:
+                if walls_hi:
+                    results["dedup_pipeline"] = min(walls_hi)
+                _emit(results, {**extra, "partial": True})
+
+        _run_child("pipeline", "--cores", str(cores), "--runs", str(runs),
+                   on_line=_fold)
 
     def _finish() -> float:
         wall_hi = min(walls_hi)
@@ -315,11 +373,10 @@ def main() -> None:
     # steady-state estimate). Adjacency matters: this host drifts between
     # fast and degraded phases (identical code measured 64s and 139s warm
     # within two hours — see BASELINE.md), so hi and lo run back-to-back.
+    # per-run streaming emission inside _measure: the headline hi wall lands
+    # after hi run0 (~4 min), the first efficiency estimate the moment the
+    # lo run completes, and every retry run immediately improves the line
     _measure(SCALE_HI, 2, "", walls_hi)
-    # the headline hi wall lands in the partial line: a driver kill during
-    # the ~9-minute lo run must not lose the throughput number
-    results["dedup_pipeline"] = min(walls_hi)
-    _emit(results, {**extra, "partial": True})
     _measure(SCALE_LO, 1, "", walls_lo)
     eff = _finish()
 

@@ -89,18 +89,30 @@ def _docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram distinct shingles, docs with >= 3 tokens. All built-ins —
     the JVM-side shingling path (functions/shingles.py uses the same shape
-    with xxhash64; here shingles stay strings so DuckDB can mirror them)."""
+    with xxhash64; here shingles stay strings so DuckDB can mirror them).
+
+    The trigram is built by zipping three shifted slices of the token array
+    so the transform lambda references ONLY its own zipped element — never
+    the outer `toks`. This matters because downstream explode()s make
+    Catalyst infer `size(shingles) > 0` filters and push them below the
+    projections, INLINING this whole expression into the parquet-scan
+    filter; with `toks[i-1]`-style outer references inside the lambda, every
+    element access re-evaluates the full split(regexp_replace(...)) chain —
+    measured 29.7s for the contamination query at sf0.1 vs 3.6s with the
+    slice/zip form (identical output, 8x)."""
     docs = _docs_normalized(spark, sf_dir)
+    toks = F.split("norm_text", " ")
+    n = F.size(toks)
+    z = F.arrays_zip(
+        F.slice(toks, 1, n - 2), F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2)
+    )
     return (
-        docs.withColumn("toks", F.split("norm_text", " "))
+        docs.withColumn("toks", toks)
         .filter(F.size("toks") >= 3)
         .select(
             "doc_id",
             F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 2),"
-                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
-                )
+                F.transform(z, lambda x: F.concat_ws(" ", x["0"], x["1"], x["2"]))
             ).alias("shingles"),
         )
     )

@@ -197,6 +197,11 @@ def _phase_queries() -> dict:
     import __spark_entry__ as entrymod
 
     spark = _mk_spark(CPUS, shuffle_partitions=max(8, CPUS))
+    # untimed session warmup: the first timed query otherwise absorbs ~4-5s
+    # of one-time cost (JVM codegen compile, parquet footer/file-index reads,
+    # shuffle service init) that is session startup, not query work —
+    # measured as normalize_docs reading 5.4s first vs ~1s warm
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     qmap = entrymod.queries()
     results: dict[str, float] = {}
     for name in BENCH_QUERIES:

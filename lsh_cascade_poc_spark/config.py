@@ -68,16 +68,25 @@ class DedupConfig:
 
     # --- winnowing / suffix stage (exact long-overlap detection) ---
     winnow_kgram_chars: int = 24     # character k-gram size
-    winnow_window: int = 32          # winnowing window (guarantee: matches of
-                                     # length >= window + k - 1 chars are caught)
+    # winnowing window. Guarantee: any shared stretch of >= window + k - 1
+    # chars yields a shared fingerprint, so with min_shared_fps = 2 every
+    # overlap of >= 2*(window+k-1) = 174 chars < min_overlap_chars is
+    # caught DETERMINISTICALLY (each disjoint half guarantees one fp).
+    # Sized to the 200-char report threshold, NOT tighter: fingerprint
+    # density is ~2/(window+1) per char, and the fp table feeds a self-join
+    # — at window=32 (the old value, guarantee floor 55 chars) the bench
+    # corpus emitted 24.5M fps and the join dominated the whole overlap
+    # stage; window=64 halves that for identical >=200-char-pair output.
+    winnow_window: int = 64
     min_overlap_chars: int = 200     # report pairs sharing an exact substring >= this
     # fingerprints shared by more docs than this are boilerplate, not
     # long-overlap evidence — drop them before the quadratic self-join
     # (tighter than hot_band_cap: overlap fps are char-level and skew harder)
     overlap_hot_cap: int = 200
-    # a real >=200-char overlap spans ~(200-55)/16 ≈ 9 winnow windows, so
-    # genuine pairs share many fingerprints; requiring >=2 kills the
-    # accidental single-fp collisions that dominate the candidate set
+    # a real >=200-char overlap spans >= 2 winnow guarantee stretches (see
+    # winnow_window) and ~(200-24)/32 ≈ 5 expected windows, so genuine pairs
+    # share multiple fingerprints; requiring >=2 kills the accidental
+    # single-fp collisions that dominate the candidate set
     overlap_min_shared_fps: int = 2
     # overlap pairs are *evidence* by default (reported in dup_pairs with
     # jaccard = -1) but do NOT merge clusters: shared boilerplate turns would

@@ -83,7 +83,12 @@ def _kgram_hashes(text: str, k: int) -> np.ndarray:
 
 def _winnow(grams: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
     """Select the rightmost-minimum hash in every window of w consecutive
-    gram hashes -> (fingerprints, positions), deduplicated on position."""
+    gram hashes -> (fingerprints, positions), deduplicated on position.
+
+    Reference semantics (single doc); the production chunk path is
+    `_winnow_flat`, which computes the same selection for a whole Arrow
+    chunk in O(total grams) independent of w — parity-pinned by
+    tests/test_suffix.py::test_winnow_flat_parity."""
     n = grams.size
     if n == 0:
         return grams, np.empty(0, dtype=np.int64)
@@ -97,6 +102,98 @@ def _winnow(grams: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
     pos = np.arange(n - w + 1) + idx
     uniq = np.unique(pos)
     return grams[uniq], uniq
+
+
+def _sliding_rightmost_argmin(v: np.ndarray, w: int) -> np.ndarray:
+    """Absolute index of the RIGHTMOST minimum of every length-w window of
+    `v` (all n-w+1 window starts), in O(n) via block decomposition: split
+    into blocks of w, compute per-block prefix and suffix running argmins
+    (2w vectorized column passes over all blocks at once), then each window
+    [p, p+w-1] is the better of block-suffix-from-p and block-prefix-to-
+    p+w-1. Ties go right: prefix updates on <=, suffix on strict <, and the
+    cross-block pick prefers the (always later-indexed) prefix half on
+    equality — identical selection to `_winnow`'s reversed-argmin."""
+    n = v.size
+    m = n - w + 1
+    nb = -(-n // w)
+    pad = np.full(nb * w, np.iinfo(np.int64).max, dtype=np.int64)
+    pad[:n] = v
+    # TRANSPOSED (w, nb) layout: every running-argmin pass reads and writes
+    # whole contiguous rows. The natural (nb, w) layout makes each pass a
+    # stride-w*8 column walk — one cache line per element — measured ~8x
+    # slower on a 1.3M-gram chunk (355ms vs ~45ms for the select)
+    blk = np.ascontiguousarray(pad.reshape(nb, w).T)
+
+    pre_val = np.empty((w, nb), dtype=np.int64)
+    pre_idx = np.empty((w, nb), dtype=np.int32)
+    pre_val[0] = blk[0]
+    pre_idx[0] = 0
+    for j in range(1, w):
+        upd = blk[j] <= pre_val[j - 1]
+        pre_val[j] = np.where(upd, blk[j], pre_val[j - 1])
+        pre_idx[j] = np.where(upd, j, pre_idx[j - 1])
+
+    suf_val = np.empty((w, nb), dtype=np.int64)
+    suf_idx = np.empty((w, nb), dtype=np.int32)
+    suf_val[w - 1] = blk[w - 1]
+    suf_idx[w - 1] = w - 1
+    for j in range(w - 2, -1, -1):
+        upd = blk[j] < suf_val[j + 1]  # strict: keep the later index on ties
+        suf_val[j] = np.where(upd, blk[j], suf_val[j + 1])
+        suf_idx[j] = np.where(upd, j, suf_idx[j + 1])
+
+    p = np.arange(m)
+    b = p // w
+    r = p - b * w
+    # aligned windows (r == 0) are exactly block b; guard b+1 with a clipped
+    # gather (those lanes are overwritten by the aligned answer below)
+    b1 = np.minimum(b + 1, nb - 1)
+    left_v = suf_val[r, b]
+    left_i = b * w + suf_idx[r, b]
+    r1 = np.maximum(r - 1, 0)
+    right_v = pre_val[r1, b1]
+    right_i = b1 * w + pre_idx[r1, b1]
+    out = np.where(right_v <= left_v, right_i, left_i)
+    aligned = r == 0
+    if aligned.any():
+        out[aligned] = (b[aligned] * w) + pre_idx[w - 1, b[aligned]]
+    return out
+
+
+def _winnow_flat(
+    grams: np.ndarray, counts: np.ndarray, w: int
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Per-doc winnow selection over the CONCATENATION of the docs' valid
+    gram arrays (`counts[d]` grams each), matching `_winnow` doc-by-doc
+    exactly. One O(total) `_sliding_rightmost_argmin` pass serves every doc
+    with counts[d] > w: a window starting inside doc d's valid range
+    [off_d, off_d + counts[d] - w] never crosses into doc d+1, so per-doc
+    answers are a pure gather from the chunk-level result. Docs at or below
+    the window size keep `_winnow`'s small-doc branch (leftmost argmin)."""
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    fps_out: list[np.ndarray] = []
+    pos_out: list[np.ndarray] = []
+    flat_sel = (
+        _sliding_rightmost_argmin(grams, w)
+        if grams.size >= w and np.any(counts > w)
+        else None
+    )
+    for d, g in enumerate(counts):
+        off = offs[d]
+        if g <= 0:
+            fps_out.append(np.empty(0, np.int64))
+            pos_out.append(np.empty(0, np.int64))
+        elif g <= w:
+            sub = grams[off : off + g]
+            pos = np.array([int(np.argmin(sub))], dtype=np.int64)
+            fps_out.append(sub[pos])
+            pos_out.append(pos)
+        else:
+            sel = flat_sel[off : off + g - w + 1] - off
+            uniq = np.unique(sel)
+            fps_out.append(grams[off + uniq])
+            pos_out.append(uniq)
+    return fps_out, pos_out
 
 
 def make_winnow_udf(k: int, w: int):
@@ -113,20 +210,18 @@ def make_winnow_udf(k: int, w: int):
                               count=len(encoded))
         flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
         grams_flat = _kgram_hashes_flat(flat, k)
-        fps_out: list[np.ndarray] = []
-        pos_out: list[np.ndarray] = []
-        off = 0
-        for n_bytes in lengths:
-            m = n_bytes - k + 1
-            if m <= 0:
-                fps_out.append(np.empty(0, np.int64))
-                pos_out.append(np.empty(0, np.int32))
-            else:
-                fps, pos = _winnow(grams_flat[off : off + m].view(np.int64), w)
-                fps_out.append(fps)
-                pos_out.append(pos.astype(np.int32))
-            off += n_bytes
-        return pd.DataFrame({"fps": fps_out, "poss": pos_out})
+        # concatenate each doc's VALID grams (windows straddling doc
+        # boundaries discarded), then winnow the whole chunk in one
+        # O(total-grams) pass — see _winnow_flat
+        counts = np.maximum(lengths - k + 1, 0)
+        byte_offs = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+        valid = np.concatenate(
+            [grams_flat[o : o + c] for o, c in zip(byte_offs, counts)]
+        ) if counts.sum() else np.empty(0, np.uint64)
+        fps_all, pos_all = _winnow_flat(valid.view(np.int64), counts, w)
+        return pd.DataFrame(
+            {"fps": fps_all, "poss": [p.astype(np.int32) for p in pos_all]}
+        )
 
     @F.pandas_udf(_FP_SCHEMA)
     def winnow_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -187,13 +282,21 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(
+            # TWO seeds per pair (first and last shared fp by position): a
+            # single min-position seed can be an accidental short match
+            # OUTSIDE the true overlap region, silently dropping a real
+            # >=min_overlap pair at verify. Verify extends both seeds and
+            # keeps the better extension.
             F.min(F.struct("pos_a", "pos_b")).alias("seed"),
+            F.max(F.struct("pos_a", "pos_b")).alias("seed2"),
             F.count(F.lit(1)).alias("n_shared_fps"),
         )
         .select(
             "id_a", "id_b",
             F.col("seed.pos_a").alias("pos_a"),
             F.col("seed.pos_b").alias("pos_b"),
+            F.col("seed2.pos_a").alias("pos_a2"),
+            F.col("seed2.pos_b").alias("pos_b2"),
             "n_shared_fps",
         )
     )
@@ -247,9 +350,15 @@ def verify_overlaps(
             if pdf.empty:
                 continue
             lengths = [
-                _extend_match(ta, tb, int(pa), int(pb), k)
-                for ta, tb, pa, pb in zip(
-                    pdf["text_a"], pdf["text_b"], pdf["pos_a"], pdf["pos_b"]
+                max(
+                    _extend_match(ta, tb, int(pa), int(pb), k),
+                    _extend_match(ta, tb, int(pa2), int(pb2), k)
+                    if (pa2 != pa or pb2 != pb)
+                    else 0,
+                )
+                for ta, tb, pa, pb, pa2, pb2 in zip(
+                    pdf["text_a"], pdf["text_b"], pdf["pos_a"], pdf["pos_b"],
+                    pdf["pos_a2"], pdf["pos_b2"],
                 )
             ]
             res = pd.DataFrame(

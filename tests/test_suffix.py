@@ -8,6 +8,7 @@ from lsh_cascade_poc_spark.operators.suffix import (
     _extend_match,
     _kgram_hashes,
     _winnow,
+    _winnow_flat,
     overlap_candidates,
     verify_overlaps,
     winnow_fingerprints,
@@ -54,6 +55,31 @@ def test_winnow_guarantee():
     fa, _ = _winnow(_kgram_hashes(a, k), w)
     fb, _ = _winnow(_kgram_hashes(b, k), w)
     assert set(fa.tolist()) & set(fb.tolist())
+
+
+def test_winnow_flat_parity():
+    # the O(n) chunk-level block selection must reproduce the per-doc
+    # reference _winnow EXACTLY — including rightmost tie-breaks, which a
+    # tiny value alphabet forces constantly, and the <=w small-doc branch
+    rng = np.random.default_rng(7)
+    for w in (2, 3, 6, 32, 64):
+        for trial in range(20):
+            n_docs = int(rng.integers(1, 12))
+            counts = rng.integers(0, 4 * w, size=n_docs)
+            grams = rng.integers(0, 5, size=int(counts.sum())).astype(np.int64)
+            fps_flat, pos_flat = _winnow_flat(grams, counts, w)
+            off = 0
+            for d, g in enumerate(counts):
+                ref_fps, ref_pos = _winnow(grams[off : off + g], w)
+                assert pos_flat[d].tolist() == ref_pos.tolist(), (w, trial, d)
+                assert fps_flat[d].tolist() == ref_fps.tolist(), (w, trial, d)
+                off += g
+    # large random-value doc (no ties) across an odd block boundary
+    grams = rng.integers(-(2**62), 2**62, size=5000).astype(np.int64)
+    fps_flat, pos_flat = _winnow_flat(grams, np.array([5000]), 32)
+    ref_fps, ref_pos = _winnow(grams, 32)
+    assert pos_flat[0].tolist() == ref_pos.tolist()
+    assert fps_flat[0].tolist() == ref_fps.tolist()
 
 
 def test_extend_match():

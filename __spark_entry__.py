@@ -152,6 +152,27 @@ _DUCK_SIGNBIT = (
 )
 
 
+def _emb_dot(a: str, b: str) -> str:
+    """Sequential-left-fold dot product of two embedding columns — the ONE
+    parity-critical double-arithmetic idiom every cosine query shares
+    (DuckDB mirrors it with list_reduce; both engines fold left-to-right in
+    DOUBLE and round(.., 6) the final ratio for bit-identical results).
+    Operand names are caller-side ("a.embedding", "qe", ...); `{0}`-style
+    placeholders pass through for later .format substitution."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) *"
+        " CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _emb_norm(v: str) -> str:
+    """L2 norm via the same sequential fold — see _emb_dot."""
+    return (
+        f"SQRT(aggregate(transform({v}, x -> CAST(x AS DOUBLE) *"
+        " CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -310,14 +331,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _read(spark, sf_dir, "embeddings")
-    dot = (
-        "aggregate(zip_with(q.embedding, d.embedding,"
-        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    )
-    norm = (
-        "SQRT(aggregate(transform({0}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        " 0D, (acc, v) -> acc + v))"
-    )
+    dot = _emb_dot("q.embedding", "d.embedding")
+    norm = _emb_norm("{0}.embedding")
     q = emb.filter(F.col("vec_id") < 3).alias("q")
     d = emb.alias("d")
     scored = (
@@ -603,10 +618,8 @@ def q_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.partitionBy("query_id").orderBy("hamming", "doc_id")
     stage2 = scored.withColumn("r2", F.row_number().over(w2)) \
         .filter(F.col("r2") <= 20)
-    dot = ("aggregate(zip_with(qe, de, (x, y) -> CAST(x AS DOUBLE) *"
-           " CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
-    norm = ("SQRT(aggregate(transform({0}, x -> CAST(x AS DOUBLE) *"
-            " CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))")
+    dot = _emb_dot("qe", "de")
+    norm = _emb_norm("{0}")
     stage3 = stage2.withColumn(
         "cosine",
         F.round(F.expr(dot) / (F.expr(norm.format("qe")) * F.expr(norm.format("de"))), 6),
@@ -627,14 +640,8 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_cascade_topk / media_dedup; this is its oracle-exact ground truth).
     Sequential-fold double arithmetic in both engines (bit-identical)."""
     emb = _read(spark, sf_dir, "embeddings")
-    dot = (
-        "aggregate(zip_with(a.embedding, b.embedding,"
-        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    )
-    norm = (
-        "SQRT(aggregate(transform({0}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        " 0D, (acc, v) -> acc + v))"
-    )
+    dot = _emb_dot("a.embedding", "b.embedding")
+    norm = _emb_norm("{0}.embedding")
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -802,7 +809,10 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays rows-only: the greedy seed-extension verify is imperative).
     Scope: ASCII-printable docs (utf-8 bytes == code points in both
     engines) of >= 56 normalized chars (every doc takes the general
-    sliding-window path, m = len-23 > w)."""
+    sliding-window path, m = len-23 > w). The oracle's packed windowed-min
+    key reserves 21 bits for position, which is safe because
+    _docs_normalized truncates norm_text to 2048 chars (pos <= 2024 <<
+    2^20) — that truncation is a load-bearing bound for the pack."""
     from lsh_cascade_poc_spark.operators.suffix import winnow_fingerprints
 
     docs = _docs_normalized(spark, sf_dir).select(
@@ -1110,35 +1120,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point — candidate pairs shrink from n² to Σ|cell|² (with the
     production hot-cap guarding degenerate cells), and the join shuffles
     on cell_id, the same bucketed-probe shape as ivf_topk."""
-    import numpy as np
-
-    emb = _read(spark, sf_dir, "embeddings")
-    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
-    x = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
-    cents = _ivf_oracle_centroids(x)
-    sims = [
-        F.expr(_IVF_COSFOLD.format(lits=", ".join(f"{v:.6f}D" for v in cents[j])))
-        for j in range(cents.shape[0])
-    ]
-    docs = (
-        emb.select("vec_id", "embedding", F.array(*sims).alias("sims"))
-        .select(
-            "vec_id",
-            "embedding",
-            (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
-            .cast("int")
-            .alias("cell_id"),
-        )
-        .localCheckpoint(eager=True)
+    docs = _ivf_base(spark, sf_dir).select(
+        "vec_id", "embedding", _ivf_cell().alias("cell_id")
     )
-    dot = (
-        "aggregate(zip_with(a.embedding, b.embedding,"
-        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    )
-    norm = (
-        "SQRT(aggregate(transform({0}.embedding, x -> CAST(x AS DOUBLE) *"
-        " CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
-    )
+    dot = _emb_dot("a.embedding", "b.embedding")
+    norm = _emb_norm("{0}.embedding")
     a = docs.alias("a")
     b = docs.alias("b")
     dups = (
@@ -1303,10 +1289,8 @@ def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.partitionBy("query_id").orderBy("hamming", "doc_id")
     stage2 = scored.withColumn("r2", F.row_number().over(w2)) \
         .filter(F.col("r2") <= 20)
-    dot = ("aggregate(zip_with(qe, de, (x, y) -> CAST(x AS DOUBLE) *"
-           " CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
-    norm = ("SQRT(aggregate(transform({0}, x -> CAST(x AS DOUBLE) *"
-            " CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))")
+    dot = _emb_dot("qe", "de")
+    norm = _emb_norm("{0}")
     stage3 = stage2.withColumn(
         "cosine",
         F.round(F.expr(dot) / (F.expr(norm.format("qe")) * F.expr(norm.format("de"))), 6),
@@ -1490,18 +1474,13 @@ _IVF_COSFOLD = (
 )
 
 
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, oracle-exact (new in r3): k-means coarse quantizer fitted
-    driver-side (deterministic, vec_id-ordered input), the 16 centroids
-    inlined as 6-decimal literals into a Catalyst fold. Home cell =
-    argmax_j round(cos(v, c_j), 6) (first-max tie-break); queries vec_id<5
-    probe their 4 nearest cells; exact cosine rerank top-10 (the
-    q_cascade_topk fold idiom). The production float32 kernels
-    (embedding/ivf.py make_ivf_cells_udf / ivf_search) stay covered by the
-    full-probe==brute-force and assignment-parity pytests."""
+def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus the per-vector cosine-vs-centroid `sims` array (16
+    driver-fitted centroids literal-inlined via _IVF_COSFOLD), materialized.
+    Shared by q_ivf_topk and q_semantic_dedup so the parity-critical fit +
+    fold sequence exists exactly once — an edit to the rounding or cast
+    order cannot silently diverge the two queries' cell assignments."""
     import numpy as np
-
-    from pyspark.sql import Window
 
     emb = _read(spark, sf_dir, "embeddings")
     pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
@@ -1513,13 +1492,32 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         for j in range(cents.shape[0])
     ]
-    base = emb.select(
+    return emb.select(
         "vec_id", "embedding", F.array(*sims).alias("sims")
     ).localCheckpoint(eager=True)
+
+
+def _ivf_cell():
+    """First-max tie-break cell assignment over the _ivf_base sims array
+    (a function: Column construction needs an active SparkContext)."""
+    return (F.array_position(F.col("sims"), F.array_max("sims")) - 1).cast("int")
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, oracle-exact (new in r3): k-means coarse quantizer fitted
+    driver-side (deterministic, vec_id-ordered input), the 16 centroids
+    inlined as 6-decimal literals into a Catalyst fold. Home cell =
+    argmax_j round(cos(v, c_j), 6) (first-max tie-break); queries vec_id<5
+    probe their 4 nearest cells; exact cosine rerank top-10 (the
+    q_cascade_topk fold idiom). The production float32 kernels
+    (embedding/ivf.py make_ivf_cells_udf / ivf_search) stay covered by the
+    full-probe==brute-force and assignment-parity pytests."""
+    from pyspark.sql import Window
+
+    base = _ivf_base(spark, sf_dir)
     docs = base.select(
         F.col("vec_id").alias("doc_id"),
-        (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
-        .cast("int").alias("cell_id"),
+        _ivf_cell().alias("cell_id"),
         F.col("embedding").alias("de"),
     )
     qcells = base.filter(F.col("vec_id") < 5).select(
@@ -1533,10 +1531,8 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 4)
         .select("query_id", "cell_id", "qe")
     )
-    dot = ("aggregate(zip_with(qe, de, (x, y) -> CAST(x AS DOUBLE) *"
-           " CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
-    norm = ("SQRT(aggregate(transform({0}, x -> CAST(x AS DOUBLE) *"
-            " CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))")
+    dot = _emb_dot("qe", "de")
+    norm = _emb_norm("{0}")
     scored = (
         docs.join(probes, "cell_id")
         .filter(F.col("doc_id") != F.col("query_id"))

@@ -235,22 +235,38 @@ def _run_child(phase: str, *args: str, on_line=None) -> dict:
                                     stderr=errf, text=True)
             lines: list[str] = []
             assert proc.stdout is not None
-            for raw in proc.stdout:
-                line = raw.strip()
-                lines.append(line)
-                if line.startswith("{"):
-                    try:
-                        payload = json.loads(line)
-                    except ValueError:
-                        continue  # a malformed line must not kill the bench
-                    # callback errors (e.g. the cluster-determinism assert)
-                    # DO propagate — swallowing them here would surface
-                    # later as an opaque min([]) on an empty wall list
-                    on_line(payload)
+            try:
+                for raw in proc.stdout:
+                    line = raw.strip()
+                    lines.append(line)
+                    if line.startswith("{"):
+                        try:
+                            payload = json.loads(line)
+                        except ValueError:
+                            continue  # a malformed line must not kill the bench
+                        # callback errors (e.g. the cluster-determinism assert)
+                        # DO propagate — swallowing them here would surface
+                        # later as an opaque min([]) on an empty wall list
+                        on_line(payload)
+            finally:
+                # a callback exception must not orphan the child: it would
+                # keep burning this contention-sensitive host's cores for
+                # the remaining runs while the parent is already dead
+                if proc.poll() is None:
+                    proc.kill()
             rc = proc.wait()
             errf.seek(0)
             stderr = errf.read()
         stdout = "\n".join(lines)
+        if rc != 0:
+            # a crashed child is a FAILED phase even if earlier per-run
+            # progress lines parsed: returning the last one would silently
+            # publish a half-measured level (e.g. min-of-1 posing as
+            # min-of-2). The cumulative driver lines already emitted by
+            # on_line remain valid partial artifacts.
+            raise RuntimeError(
+                f"phase {phase} exited rc={rc} mid-stream:\n{stderr[-2000:]}"
+            )
     for line in reversed(stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):

@@ -136,10 +136,18 @@ class IncrementalDedup:
             matched = reps_docs.join(
                 idx_fp.withColumnRenamed("root_id", "id_old"), "fingerprint"
             ).select("doc_id", "id_old")
-            exact_old = matched.select(
-                F.least("doc_id", "id_old").alias("id_a"),
-                F.greatest("doc_id", "id_old").alias("id_b"),
-            ).withColumn("jaccard", F.lit(1.0))
+            exact_old = (
+                matched.select(
+                    F.least("doc_id", "id_old").alias("id_a"),
+                    F.greatest("doc_id", "id_old").alias("id_b"),
+                )
+                # a conversation re-delivered in a later batch (at-least-once
+                # source) matches its OWN fp_index row — same guard as the
+                # band-probe join below, else a degenerate self-pair lands in
+                # dup_pairs
+                .filter(F.col("id_a") != F.col("id_b"))
+                .withColumn("jaccard", F.lit(1.0))
+            )
             fresh_reps_docs = reps_docs.join(
                 matched.select("doc_id"), "doc_id", "left_anti"
             )
@@ -149,74 +157,61 @@ class IncrementalDedup:
         sigs = build_signatures(fresh_reps_docs, cfg).localCheckpoint(eager=True)
         new_bands = self._bands_of(sigs)
 
+        # a missing index is just an EMPTY index: one code path for the first
+        # and every later batch, so a cap-semantics fix can never silently
+        # diverge between them (the empty-side joins are no-ops under AQE)
         if self._exists("bands"):
             idx_bands = self._read_table("bands", exclude_batch=batch_id)
             idx_sigs = self._read_table("signatures", exclude_batch=batch_id)
-            # hot-band cap over the COMBINED (index ∪ new) band table: a
-            # bucket that grew hot across batches is excluded from probing on
-            # BOTH sides and from the index append, and the drop is recorded
-            # (same cap rule as the batch path, operators/bands.py:82) — the
-            # probe join already scans the full index, so the count pre-pass
-            # adds no asymptotic cost
-            combined = idx_bands.select("tier", "band_id", "band_key").unionAll(
-                new_bands.select("tier", "band_id", "band_key")
-            )
-            hot = (
-                combined.groupBy("tier", "band_id", "band_key")
-                .agg(F.count(F.lit(1)).alias("n_docs"))
-                .filter(F.col("n_docs") > cfg.hot_band_cap)
-                .localCheckpoint(eager=True)
-            )
-            hot_keys = hot.select("tier", "band_id", "band_key")
-            kept_new = new_bands.join(
-                hot_keys, ["tier", "band_id", "band_key"], "left_anti"
-            ).localCheckpoint(eager=True)
-            kept_idx = idx_bands.join(
-                hot_keys, ["tier", "band_id", "band_key"], "left_anti"
-            )
-            # probe: new docs vs existing index (plus new-vs-new self-join)
-            probe = kept_new.select(
-                "tier", "band_id", "band_key", F.col("doc_id").alias("id_new")
-            )
-            hits_old = (
-                probe.join(kept_idx.select(
-                    "tier", "band_id", "band_key", F.col("doc_id").alias("id_old")),
-                    ["tier", "band_id", "band_key"])
-                .select(
-                    F.least("id_new", "id_old").alias("id_a"),
-                    F.greatest("id_new", "id_old").alias("id_b"),
-                )
-                .filter(F.col("id_a") != F.col("id_b"))
-                .distinct()
-            )
-            l = kept_new.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_a"))
-            r = kept_new.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_b"))
-            hits_new = (
-                l.join(r, ["tier", "band_id", "band_key"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b").distinct()
-            )
-            cands = hits_old.unionByName(hits_new).distinct()
-            all_sigs = idx_sigs.unionByName(sigs).localCheckpoint(eager=True)
         else:
-            hot = (
-                new_bands.groupBy("tier", "band_id", "band_key")
-                .agg(F.count(F.lit(1)).alias("n_docs"))
-                .filter(F.col("n_docs") > cfg.hot_band_cap)
-                .localCheckpoint(eager=True)
+            idx_bands = new_bands.limit(0)
+            idx_sigs = sigs.limit(0)
+        # hot-band cap over the COMBINED (index ∪ new) band table: a
+        # bucket that grew hot across batches is excluded from probing on
+        # BOTH sides and from the index append, and the drop is recorded
+        # (same cap rule as the batch path, operators/bands.py:82) — the
+        # probe join already scans the full index, so the count pre-pass
+        # adds no asymptotic cost
+        combined = idx_bands.select("tier", "band_id", "band_key").unionAll(
+            new_bands.select("tier", "band_id", "band_key")
+        )
+        hot = (
+            combined.groupBy("tier", "band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > cfg.hot_band_cap)
+            .localCheckpoint(eager=True)
+        )
+        hot_keys = hot.select("tier", "band_id", "band_key")
+        kept_new = new_bands.join(
+            hot_keys, ["tier", "band_id", "band_key"], "left_anti"
+        ).localCheckpoint(eager=True)
+        kept_idx = idx_bands.join(
+            hot_keys, ["tier", "band_id", "band_key"], "left_anti"
+        )
+        # probe: new docs vs existing index (plus new-vs-new self-join)
+        probe = kept_new.select(
+            "tier", "band_id", "band_key", F.col("doc_id").alias("id_new")
+        )
+        hits_old = (
+            probe.join(kept_idx.select(
+                "tier", "band_id", "band_key", F.col("doc_id").alias("id_old")),
+                ["tier", "band_id", "band_key"])
+            .select(
+                F.least("id_new", "id_old").alias("id_a"),
+                F.greatest("id_new", "id_old").alias("id_b"),
             )
-            kept_new = new_bands.join(
-                hot.select("tier", "band_id", "band_key"),
-                ["tier", "band_id", "band_key"], "left_anti",
-            ).localCheckpoint(eager=True)
-            l = kept_new.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_a"))
-            r = kept_new.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_b"))
-            cands = (
-                l.join(r, ["tier", "band_id", "band_key"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b").distinct()
-            )
-            all_sigs = sigs
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        l = kept_new.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_a"))
+        r = kept_new.select("tier", "band_id", "band_key", F.col("doc_id").alias("id_b"))
+        hits_new = (
+            l.join(r, ["tier", "band_id", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct()
+        )
+        cands = hits_old.unionByName(hits_new).distinct()
+        all_sigs = idx_sigs.unionByName(sigs).localCheckpoint(eager=True)
 
         from .operators.verify import verify_pairs_exact_jaccard
 

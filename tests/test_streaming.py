@@ -216,3 +216,27 @@ def test_streaming_exact_flood_and_hot_band_cap(spark, tmp_path):
     assert inc.docs().count() == 15
     assert inc.signatures().count() == 7
     assert inc.dup_pairs().count() == len(pairs)
+
+
+def test_redelivered_conversation_no_self_pair(spark, tmp_path):
+    """A conversation re-delivered in a LATER batch (at-least-once source:
+    rewritten file, replayed upstream) matches its OWN fp_index entry; the
+    exact-fingerprint fast path must not emit a degenerate self-pair
+    (id_a == id_b) into dup_pairs."""
+    corpus = generate_corpus(n_base=10, dup_fraction=0.3, seed=13)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    df = spark.createDataFrame(corpus.turns, TURNS_DDL)
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+
+    inc = IncrementalDedup(spark, str(tmp_path / "index"), CFG)
+    q = inc.start(src + "/b*", str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(120)
+
+    # the SAME conversations delivered again as a fresh file
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+    q2 = inc.start(src + "/b*", str(tmp_path / "ckpt"), trigger_once=True)
+    q2.awaitTermination(120)
+
+    pairs = inc.dup_pairs()
+    assert pairs.filter(F.col("id_a") == F.col("id_b")).count() == 0

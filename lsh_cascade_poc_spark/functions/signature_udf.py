@@ -24,6 +24,7 @@ token-hash scheme so signature parity stays lane-exact.
 
 from __future__ import annotations
 
+import sys
 from typing import Iterator
 
 import numpy as np
@@ -45,13 +46,25 @@ _SHINGLE_BASE = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 
 
 def hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Vectorized token hashing: list[str] -> (n,) uint64."""
+    """Vectorized token hashing: list[str] -> (n,) uint64.
+
+    Lane packing is a ZERO-COPY view: a 'U16' element is 64 bytes of UCS4,
+    and on little-endian hosts viewing it as uint64 yields exactly
+    lo_uint32 | hi_uint32 << 32 per pair — the same values the explicit
+    astype + or-shift produced, without materializing two fresh (n, 16)/
+    (n, 8) arrays per chunk. That materialization was ~85% of the kernel on
+    this memory-ballooned host: first-touch page faults on the ~48MB of
+    fresh allocations per 1024-doc chunk cost 700-1100ms where the warm
+    arithmetic costs 16ms (measured; see BASELINE.md on the balloon)."""
     if not tokens:
         return np.empty(0, dtype=np.uint64)
     u = np.array(tokens, dtype=f"U{_TOKEN_WIDTH}")        # truncates, zero-pads
-    lanes = u.view(np.uint32).reshape(len(tokens), -1)    # (n, 16) uint32
-    lanes64 = lanes.astype(np.uint64).reshape(len(tokens), 8, 2)
-    packed = lanes64[:, :, 0] | (lanes64[:, :, 1] << np.uint64(32))  # (n, 8)
+    if sys.byteorder == "little":
+        packed = u.view(np.uint64).reshape(len(tokens), 8)   # (n, 8), no copy
+    else:  # pragma: no cover — parity fallback for big-endian hosts
+        lanes = u.view(np.uint32).reshape(len(tokens), -1)
+        lanes64 = lanes.astype(np.uint64).reshape(len(tokens), 8, 2)
+        packed = lanes64[:, :, 0] | (lanes64[:, :, 1] << np.uint64(32))
     h = np.full(len(tokens), np.uint64(0x9E3779B185EBCA87), dtype=np.uint64)
     for lane in range(8):
         h = (h ^ packed[:, lane]) * _MIX_MULTS[lane]      # wraparound mix

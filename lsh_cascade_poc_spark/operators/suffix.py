@@ -55,20 +55,57 @@ _ROLL_P = (1 << 61) - 1
 _ROLL_BASE = 1_000_003
 
 
+class _Scratch:
+    """Grow-only per-worker scratch buffers, keyed by name.
+
+    Rationale (measured on this VM class): numpy frees multi-MB temporaries
+    back to the OS (mmap/munmap), so every fresh large array re-faults its
+    pages — a plain `x // 64` over 1.2M int64 costs ~21 ms while the same
+    op with `out=` into a reused buffer costs ~1.4 ms. The chunk kernels
+    below run hundreds of times per task, so temporaries dominated their
+    wall. Buffers grow by 1.25x and are returned as views; safe because a
+    Python UDF worker process executes one task at a time."""
+
+    def __init__(self) -> None:
+        self._bufs: dict[str, np.ndarray] = {}
+
+    def get(self, name: str, size: int, dtype) -> np.ndarray:
+        buf = self._bufs.get(name)
+        if buf is None or buf.size < size or buf.dtype != np.dtype(dtype):
+            buf = np.empty(int(size * 1.25) + 16, dtype=dtype)
+            self._bufs[name] = buf
+        return buf[:size]
+
+    def iota(self, size: int) -> np.ndarray:
+        """Read-only 0..size-1 int64 view (callers must not write it)."""
+        buf = self._bufs.get("_iota")
+        if buf is None or buf.size < size:
+            buf = np.arange(int(size * 1.25) + 16, dtype=np.int64)
+            self._bufs["_iota"] = buf
+        return buf[:size]
+
+
+_SCRATCH = _Scratch()
+
+
 def _kgram_hashes_flat(data: np.ndarray, k: int) -> np.ndarray:
     """Polynomial hashes of all k-byte windows of a flat byte array, with
     wraparound uint64 arithmetic (Horner, no modulo — this VM's 64-bit
     division is ~100x slower than multiply, and a hash collision here only
     costs one rejected extension in _extend_match, which re-checks bytes).
-    Returns (len(data) - k + 1,) uint64; caller slices out per-doc ranges
-    and discards windows that straddle document boundaries."""
+    Returns (len(data) - k + 1,) uint64 as a view into worker scratch —
+    callers must copy (or fully consume) it before the next call; caller
+    slices out per-doc ranges and discards windows that straddle document
+    boundaries."""
     n = data.size
     if n < k:
         return np.empty(0, dtype=np.uint64)
-    vals = data.astype(np.uint64)
+    vals = _SCRATCH.get("kg_vals", n, np.uint64)
+    np.copyto(vals, data, casting="unsafe")
     m = n - k + 1
     base = np.uint64(_ROLL_BASE)
-    acc = np.zeros(m, dtype=np.uint64)
+    acc = _SCRATCH.get("kg_acc", m, np.uint64)
+    acc.fill(0)
     for j in range(k):
         np.multiply(acc, base, out=acc)
         np.add(acc, vals[j : j + m], out=acc)
@@ -76,9 +113,9 @@ def _kgram_hashes_flat(data: np.ndarray, k: int) -> np.ndarray:
 
 
 def _kgram_hashes(text: str, k: int) -> np.ndarray:
-    """Single-text convenience wrapper -> int64."""
+    """Single-text convenience wrapper -> int64 (owned copy)."""
     data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
-    return _kgram_hashes_flat(data, k).view(np.int64)
+    return _kgram_hashes_flat(data, k).view(np.int64).copy()
 
 
 def _winnow(grams: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
@@ -112,51 +149,92 @@ def _sliding_rightmost_argmin(v: np.ndarray, w: int) -> np.ndarray:
     [p, p+w-1] is the better of block-suffix-from-p and block-prefix-to-
     p+w-1. Ties go right: prefix updates on <=, suffix on strict <, and the
     cross-block pick prefers the (always later-indexed) prefix half on
-    equality — identical selection to `_winnow`'s reversed-argmin."""
+    equality — identical selection to `_winnow`'s reversed-argmin.
+
+    Returns a view into worker scratch: callers must fully consume the
+    result before the next call to this function."""
     n = v.size
     m = n - w + 1
     nb = -(-n // w)
-    pad = np.full(nb * w, np.iinfo(np.int64).max, dtype=np.int64)
+    S = _SCRATCH
+    pad = S.get("arg_pad", nb * w, np.int64)
     pad[:n] = v
+    pad[n:].fill(np.iinfo(np.int64).max)
     # TRANSPOSED (w, nb) layout: every running-argmin pass reads and writes
     # whole contiguous rows. The natural (nb, w) layout makes each pass a
     # stride-w*8 column walk — one cache line per element — measured ~8x
-    # slower on a 1.3M-gram chunk (355ms vs ~45ms for the select)
-    blk = np.ascontiguousarray(pad.reshape(nb, w).T)
+    # slower on a 1.3M-gram chunk (355ms vs ~45ms for the select).
+    # Everything below writes into named scratch (see _Scratch): the
+    # where/temporary-per-step formulation of this function spent ~5x its
+    # compute time re-faulting freshly-mmapped temporaries on this VM.
+    blk = S.get("arg_blk", nb * w, np.int64).reshape(w, nb)
+    np.copyto(blk, pad.reshape(nb, w).T)
 
-    pre_val = np.empty((w, nb), dtype=np.int64)
-    pre_idx = np.empty((w, nb), dtype=np.int32)
+    pre_val = S.get("arg_preval", nb * w, np.int64).reshape(w, nb)
+    pre_idx = S.get("arg_preidx", nb * w, np.int32).reshape(w, nb)
+    upd = S.get("arg_upd", nb, np.bool_)
     pre_val[0] = blk[0]
     pre_idx[0] = 0
     for j in range(1, w):
-        upd = blk[j] <= pre_val[j - 1]
-        pre_val[j] = np.where(upd, blk[j], pre_val[j - 1])
-        pre_idx[j] = np.where(upd, j, pre_idx[j - 1])
+        np.less_equal(blk[j], pre_val[j - 1], out=upd)
+        np.copyto(pre_val[j], pre_val[j - 1])
+        np.copyto(pre_val[j], blk[j], where=upd)
+        np.copyto(pre_idx[j], pre_idx[j - 1])
+        np.copyto(pre_idx[j], np.int32(j), where=upd)
 
-    suf_val = np.empty((w, nb), dtype=np.int64)
-    suf_idx = np.empty((w, nb), dtype=np.int32)
+    suf_val = S.get("arg_sufval", nb * w, np.int64).reshape(w, nb)
+    suf_idx = S.get("arg_sufidx", nb * w, np.int32).reshape(w, nb)
     suf_val[w - 1] = blk[w - 1]
     suf_idx[w - 1] = w - 1
     for j in range(w - 2, -1, -1):
-        upd = blk[j] < suf_val[j + 1]  # strict: keep the later index on ties
-        suf_val[j] = np.where(upd, blk[j], suf_val[j + 1])
-        suf_idx[j] = np.where(upd, j, suf_idx[j + 1])
+        # strict: keep the later index on ties
+        np.less(blk[j], suf_val[j + 1], out=upd)
+        np.copyto(suf_val[j], suf_val[j + 1])
+        np.copyto(suf_val[j], blk[j], where=upd)
+        np.copyto(suf_idx[j], suf_idx[j + 1])
+        np.copyto(suf_idx[j], np.int32(j), where=upd)
 
-    p = np.arange(m)
-    b = p // w
-    r = p - b * w
+    p = S.iota(m)
+    b = S.get("arg_b", m, np.int64)
+    np.floor_divide(p, w, out=b)
+    r = S.get("arg_r", m, np.int64)
+    np.multiply(b, w, out=r)
+    np.subtract(p, r, out=r)
     # aligned windows (r == 0) are exactly block b; guard b+1 with a clipped
     # gather (those lanes are overwritten by the aligned answer below)
-    b1 = np.minimum(b + 1, nb - 1)
-    left_v = suf_val[r, b]
-    left_i = b * w + suf_idx[r, b]
-    r1 = np.maximum(r - 1, 0)
-    right_v = pre_val[r1, b1]
-    right_i = b1 * w + pre_idx[r1, b1]
-    out = np.where(right_v <= left_v, right_i, left_i)
-    aligned = r == 0
+    b1 = S.get("arg_b1", m, np.int64)
+    np.add(b, 1, out=b1)
+    np.minimum(b1, nb - 1, out=b1)
+    fi = S.get("arg_fi", m, np.int64)
+    # left = suffix-from-r of block b: flat index r * nb + b
+    np.multiply(r, nb, out=fi)
+    np.add(fi, b, out=fi)
+    left_v = S.get("arg_lv", m, np.int64)
+    np.take(suf_val.reshape(-1), fi, out=left_v)
+    gat32 = S.get("arg_g32", m, np.int32)
+    np.take(suf_idx.reshape(-1), fi, out=gat32)
+    left_i = S.get("arg_li", m, np.int64)
+    np.multiply(b, w, out=left_i)
+    np.add(left_i, gat32, out=left_i, casting="unsafe")
+    # right = prefix-to-(r-1) of block b+1: flat index max(r-1, 0) * nb + b1
+    np.subtract(r, 1, out=fi)
+    np.maximum(fi, 0, out=fi)
+    np.multiply(fi, nb, out=fi)
+    np.add(fi, b1, out=fi)
+    right_v = S.get("arg_rv", m, np.int64)
+    np.take(pre_val.reshape(-1), fi, out=right_v)
+    np.take(pre_idx.reshape(-1), fi, out=gat32)
+    out = S.get("arg_out", m, np.int64)
+    np.multiply(b1, w, out=out)
+    np.add(out, gat32, out=out, casting="unsafe")  # out = right_i
+    cmp = S.get("arg_cmp", m, np.bool_)
+    np.greater(right_v, left_v, out=cmp)  # i.e. NOT (right_v <= left_v)
+    np.copyto(out, left_i, where=cmp)
+    aligned = S.get("arg_al", m, np.bool_)
+    np.equal(r, 0, out=aligned)
     if aligned.any():
-        out[aligned] = (b[aligned] * w) + pre_idx[w - 1, b[aligned]]
+        ba = b[aligned]
+        out[aligned] = (ba * w) + pre_idx[w - 1, ba]
     return out
 
 
@@ -215,9 +293,15 @@ def make_winnow_udf(k: int, w: int):
         # O(total-grams) pass — see _winnow_flat
         counts = np.maximum(lengths - k + 1, 0)
         byte_offs = np.concatenate(([0], np.cumsum(lengths)))[:-1]
-        valid = np.concatenate(
-            [grams_flat[o : o + c] for o, c in zip(byte_offs, counts)]
-        ) if counts.sum() else np.empty(0, np.uint64)
+        # gather each doc's valid grams into scratch (a fresh concatenate
+        # re-faults a multi-MB mmap per chunk — see _Scratch)
+        total = int(counts.sum())
+        valid = _SCRATCH.get("oc_valid", total, np.uint64)
+        pos = 0
+        for o, c in zip(byte_offs, counts):
+            if c > 0:
+                valid[pos : pos + c] = grams_flat[o : o + c]
+                pos += c
         fps_all, pos_all = _winnow_flat(valid.view(np.int64), counts, w)
         return pd.DataFrame(
             {"fps": fps_all, "poss": [p.astype(np.int32) for p in pos_all]}

@@ -50,7 +50,10 @@ overlap (benchmark decontamination: broadcast the held-out shard's
 shingles against the corpus scan), q_dedup_rate_by_source (post-dedup
 accounting rollup over the cluster assignment), q_semantic_dedup
 (SemDeDup-style within-centroid-cell embedding dedup on the IVF
-quantizer). 44 oracle rows hash-exact, 6 rows-only (float32 production
+quantizer), q_bm25_topk (Okapi BM25 term retrieval, integer
+micro-scores), q_containment_pairs (Broder asymmetric containment
+dedup), q_stratified_sample (per-source deterministic hash-gate
+sampling). 47 oracle rows hash-exact, 6 rows-only (float32 production
 kernels and recall-probabilistic composites, pytest-parity-gated).
 """
 
@@ -1150,6 +1153,154 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 term-based relevance retrieval (Robertson/Spärck Jones; the
+    Okapi tf-idf ranking behind classic full-text search) for a fixed
+    3-term query over the documents table: one rare term ('dup', df≈5%)
+    plus two common ones, so the ranking is idf-dominated and non-vacuous.
+    Scale shape: the token explode is filtered to the query literals
+    BEFORE any shuffle (a map-side drop of ~99% of exploded rows), the tf
+    aggregation keys on (doc_id, term) — doc-local, no skew — the df/N/
+    avgdl statistics are a few-row broadcast, and the final top-20 is a
+    single-reducer window over only the docs matching >= 1 term. Integer
+    micro-scores (sum of per-term contributions rounded to 1e-6) make the
+    cross-engine comparison order-independent: BIGINT sums are exact where
+    double sums are association-sensitive."""
+    from pyspark.sql import Window
+
+    terms = ["dup", "merge", "vector"]
+    docs = _docs_normalized(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.split("norm_text", " ").alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "tfn",
+            F.round(
+                (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "c",
+            F.round(F.col("idf") * F.col("tfn") * F.lit(1000000.0)).cast("long"),
+        )
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").alias("score_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score_micro", "rank")
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder's containment coefficient
+    |A∩B| / min(|A|,|B|)): catches a short document embedded verbatim-ish
+    inside a longer one, which symmetric Jaccard misses (the union is
+    dominated by the longer doc). Pairs share >= 1 word-3-gram shingle and
+    have containment >= 0.8. Scale shape: the same exploded-shingle
+    equi-self-join as the LSH band pass (at 100 TB the production path
+    runs it over banded MinHash keys with the hot-band cap —
+    operators/bands.py — this query keeps raw shingles so DuckDB can
+    mirror it exactly), shared-count aggregation keyed per pair, and the
+    per-doc shingle counts re-attached via two narrow joins."""
+    sh = _docs_shingled(spark, sf_dir).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    a = ex.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    return (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .select("id_a", "id_b", "n_shared", "containment")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source sampling rates (the
+    curation move that up-weights scarce high-quality strata and
+    down-samples bulk crawl), implemented as a pure hash gate — no RNG, no
+    sampleBy seed dependence, reproducible across runs/partitionings/
+    engines. Scale shape: a stateless map over the scan (hash, compare,
+    filter) — embarrassingly parallel, zero shuffle before the per-source
+    accounting rollup."""
+    rate_milli = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(900))
+        .when(F.col("source").isin("src3", "src4"), F.lit(300))
+        .otherwise(F.lit(600))
+    )
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.pmod(F.xxhash64("doc_id"), F.lit(1000)).alias("bucket"),
+    )
+    return (
+        docs.withColumn("rate_milli", rate_milli)
+        .withColumn("sampled", F.col("bucket") < F.col("rate_milli"))
+        .groupBy("source", "rate_milli")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("sampled").cast("bigint")).alias("n_sampled"),
+            F.round(
+                F.sum(F.col("sampled").cast("bigint")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("achieved_rate"),
+        )
+    )
+
+
 # --- rows-only (non-SQL-expressible: Arrow UDF kernels / iterative) ---------
 
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1666,6 +1817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": q_contamination_overlap,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "semantic_dedup": q_semantic_dedup,
+        "bm25_topk": q_bm25_topk,
+        "containment_pairs": q_containment_pairs,
+        "stratified_sample": q_stratified_sample,
         "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "overlap_pairs": q_overlap_pairs,
@@ -2409,6 +2563,32 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY t.doc_id
     """
 
+    sql["stratified_sample"] = f"""
+      WITH {",".join(_hl_ctes)},
+      hashed AS (
+        SELECT doc_id,
+               (({_to_s('h')} % 1000) + 1000) % 1000 AS bucket
+      FROM h{len(_hl_steps)}
+      ),
+      gated AS (
+        SELECT d.source,
+               CASE WHEN d.source IN ('src0', 'src1', 'src2') THEN 900
+                    WHEN d.source IN ('src3', 'src4') THEN 300
+                    ELSE 600 END AS rate_milli,
+               h.bucket
+        FROM documents d JOIN hashed h ON d.doc_id = h.doc_id
+      )
+      SELECT source, rate_milli,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN bucket < rate_milli THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_sampled,
+             round(CAST(sum(CASE WHEN bucket < rate_milli THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS achieved_rate
+      FROM gated
+      GROUP BY source, rate_milli
+    """
+
     sql["repetition_stats"] = f"""
       WITH norm AS ({_DUCK_DOCS_NORM}),
       tok AS (SELECT doc_id, string_split(norm_text, ' ') AS toks FROM norm),
@@ -2443,6 +2623,59 @@ def oracle_sql() -> dict[str, str]:
         FROM dfreq, n
       )
       SELECT token, df, idf, rank FROM ranked WHERE rank <= 50
+    """
+
+    sql["bm25_topk"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      base AS (
+        SELECT doc_id, string_split(norm_text, ' ') AS toks,
+               len(string_split(norm_text, ' ')) AS dl
+        FROM norm
+      ),
+      stats AS (
+        SELECT count(*) AS n_docs,
+               round(CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS avgdl
+        FROM base
+      ),
+      tf AS (
+        SELECT doc_id, dl, token, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS token FROM base)
+        WHERE token IN ('dup', 'merge', 'vector')
+        GROUP BY doc_id, dl, token
+      ),
+      dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+      contrib AS (
+        SELECT t.doc_id,
+               CAST(round(
+                 round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
+                 * round((t.tf * 2.2)
+                         / (t.tf + 1.2 * (0.25 + 0.75 * (t.dl / s.avgdl))), 6)
+                 * 1000000.0) AS BIGINT) AS c
+        FROM tf t JOIN dfreq d ON t.token = d.token CROSS JOIN stats s
+      ),
+      scored AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        FROM contrib GROUP BY doc_id
+      )
+      SELECT doc_id, score_micro, rank FROM (
+        SELECT doc_id, score_micro,
+               row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+        FROM scored
+      ) WHERE rank <= 20
+    """
+
+    sql["containment_pairs"] = f"""
+      WITH sh0 AS ({_DUCK_DOCS_SHINGLED}),
+      sh AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh0),
+      ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sh)
+      SELECT id_a, id_b, n_shared, containment FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST(least(a.n_sh, b.n_sh) AS DOUBLE), 6) AS containment
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      ) WHERE containment >= 0.8
     """
 
     sql["orders_by_segment"] = """

@@ -57,13 +57,20 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # default hi is 4, not $SPARK_GRAFT_CPUS, on this host)
 SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", str(min(4, CPUS))))
 SCALE_LO = max(1, SCALE_HI // 4)
-# ~250k base convs -> ~2.4M turns / ~400k docs. Sized so the cascade is
-# compute-dominated at BOTH levels (W ≈ 450-520 core-seconds against a
-# ~30s parallelism-independent constant; the efficiency ratio is
+# ~400k base convs -> ~3.85M turns / ~640k docs. Sized so the cascade is
+# compute-dominated at BOTH levels (W ≈ 750-850 core-seconds against a
+# ~15-25s parallelism-independent constant; the efficiency ratio is
 # meaningless when wall is all constant) while the scaling pair still lands
-# in ~16 minutes — and the scaling pair runs FIRST with cumulative emission,
-# so a driver-budget kill later costs only the query sweep.
-BENCH_TURNS_BASE = int(os.environ.get("BENCH_N_BASE", "250000"))
+# in ~20 minutes — and the scaling pair runs FIRST with cumulative emission,
+# so a driver-budget kill later costs only the query sweep. This corpus was
+# OFF-LIMITS in earlier rounds (the overlap stage's working set hit this
+# host's serialized-fault wall, walls grew 18-20x — BASELINE.md); after the
+# w=64 fingerprint-density halving, the worker scratch-buffer reuse and the
+# shared-fp self-join prefilter it scales linearly (measured 1.5-1.6x the
+# 2.4M-turn walls at both levels), and the larger parallel work W against
+# the fixed per-run constant makes the measured N->4N ratio more faithful
+# to the 10^12-turn design point the north rule actually asks about.
+BENCH_TURNS_BASE = int(os.environ.get("BENCH_N_BASE", "400000"))
 CACHE_DIR = os.path.join(REPO, ".bench_cache")
 
 # operator queries benched at the sf dir (cheap/medium ones; the quadratic
@@ -93,6 +100,8 @@ BENCH_QUERIES = [
     "doc_frequency",
     "contamination_overlap",
     "semantic_dedup",
+    "bm25_topk",
+    "stratified_sample",
     "orders_by_segment",
     "pricing_summary",
     "revenue_rollup",
@@ -386,9 +395,10 @@ def main() -> None:
     # headline + scaling evidence FIRST (the north-rule number must land
     # even if the driver budget expires during the query sweep). The hi
     # level runs twice in one JVM and reports min-of-2 (steady state). The
-    # lo level runs ONCE: at local[1] on the 2.4M-turn corpus the first-run
-    # JIT/warmup constant is amortized into a ~9-minute wall — measured
-    # cold 548.6s vs warm 546.3s, a 0.4% delta — so a second 9-minute run
+    # lo level runs ONCE: at local[1] on the 3.85M-turn corpus the first-run
+    # JIT/warmup constant is amortized into an ~11-minute wall — measured
+    # cold 548.6s vs warm 546.3s (0.4% delta) already at the smaller
+    # 2.4M-turn corpus — so a second ~11-minute run
     # would buy nothing (r2's ACTUAL lo bias came from a 3-minute lo wall
     # where warmup was ~10-25%; at this wall length one run IS the
     # steady-state estimate). Adjacency matters: this host drifts between

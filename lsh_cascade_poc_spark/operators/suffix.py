@@ -348,16 +348,22 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
     (5x slower: interpreted lambda expressions + object aggregation lose
     badly to whole-stage-codegen joins). Don't "simplify" it back."""
     counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
-    # anti-join against the HOT side (normally tiny: buckets above the cap)
-    # instead of the original semi-join against the cold side, which
-    # shuffled the whole fingerprint table a second time just to apply the
-    # cap. No forced broadcast hint: the hot-key count is bounded only by
-    # rows/cap, so AQE decides from the aggregation's actual runtime size
-    # (broadcast when small, shuffle join when an adversarial corpus makes
-    # it big — see operators/bands.py cap_hot_bands).
+    # keep only fps SHARED by 2..hot_cap docs. The lower bound is the big
+    # win: winnowing over distinct text makes most fingerprints singletons
+    # (measured at the 2.4M-turn bench corpus: 9.36M distinct fps, only
+    # 1.47M shared — 65% of the 12.28M exploded rows were singleton fps
+    # that can never form a pair yet flowed through the self-join's
+    # build/probe). The upper bound is the old hot cap: fps above it are
+    # boilerplate, not overlap evidence. Output is IDENTICAL — singletons
+    # produce zero pairs. The inner join reuses the fp partitioning the
+    # self-join needs anyway, so this adds no exchange; AQE decides the
+    # build side from the shared-fp set's actual runtime size (it scales
+    # with corpus, so no forced broadcast hint).
     cold = fps.join(
-        counts.filter(F.col("n_docs") > hot_cap).select("fp"),
-        "fp", "left_anti",
+        counts.filter(
+            (F.col("n_docs") >= 2) & (F.col("n_docs") <= hot_cap)
+        ).select("fp"),
+        "fp",
     )
     a = cold.select("fp", F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"))
     b = cold.select("fp", F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"))

@@ -110,3 +110,29 @@ def test_overlap_stage_end_to_end(spark):
     assert all(3 not in p for p in pairs)
     row = [r for r in found if (r.id_a, r.id_b) == (1, 2)][0]
     assert row.overlap_chars >= len(shared)
+
+
+def test_overlap_candidates_prefilter_semantics(spark):
+    """The shared-fp gate (2 <= n_docs <= hot_cap) must (a) keep every true
+    pair — singleton fps never form one — and (b) drop hot boilerplate fps
+    from pairing, without touching non-hot evidence for the same pair."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    boiler = "standard legal disclaimer repeated everywhere verbatim " * 3
+    rows = [
+        (1, "intro one " + shared + " tail one"),
+        (2, "pre two " + shared + " tail two"),
+        (3, "unique content nothing shared with any other document here"),
+    ]
+    # a flood of docs sharing ONLY boilerplate: every boilerplate fp is
+    # shared by > hot_cap docs and must be dropped (no candidate pairs)
+    rows += [(100 + i, f"doc {i} says " + boiler) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, doc_text string")
+    fps = winnow_fingerprints(docs, k=24, w=32)
+    cands = overlap_candidates(fps, hot_cap=8, min_shared_fps=1)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs  # true overlap survives the gate
+    assert all(a < 100 and b < 100 for a, b in pairs), (
+        f"boilerplate-only docs must not pair (hot cap), got {pairs}"
+    )
+    # singleton-heavy doc 3 pairs with nobody
+    assert all(3 not in p for p in pairs)

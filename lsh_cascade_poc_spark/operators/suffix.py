@@ -395,6 +395,66 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
     return out
 
 
+def overlap_candidates_probe(
+    idx_fps: DataFrame,
+    new_fps: DataFrame,
+    hot_cap: int = 200,
+    min_shared_fps: int = 1,
+) -> DataFrame:
+    """Incremental variant of `overlap_candidates`: fingerprints of NEW docs
+    probe the union of (persistent index ∪ new) fingerprints, emitting only
+    pairs with at least one new side — the streaming "probe the inverted
+    index" shape (new x indexed plus new x new, never indexed x indexed,
+    whose pairs earlier batches already emitted). Same shared-fp gate
+    (2..hot_cap distinct docs — singletons can never pair, hotter keys are
+    boilerplate) and the same two-seed/min-shared aggregation as the batch
+    operator, so batch and streaming candidates agree on a shared corpus.
+    The new-side flag rides the exploded rows from union time — no extra
+    join to mark sides."""
+    comb = idx_fps.select("doc_id", "fp", "pos").withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(
+        new_fps.select("doc_id", "fp", "pos").withColumn("is_new", F.lit(True))
+    )
+    counts = comb.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
+    kept = comb.join(
+        counts.filter(
+            (F.col("n_docs") >= 2) & (F.col("n_docs") <= hot_cap)
+        ).select("fp"),
+        "fp",
+    )
+    a = kept.select(
+        "fp", F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"),
+        F.col("is_new").alias("new_a"),
+    )
+    b = kept.select(
+        "fp", F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"),
+        F.col("is_new").alias("new_b"),
+    )
+    out = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("new_a") | F.col("new_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(F.struct("pos_a", "pos_b")).alias("seed"),
+            F.max(F.struct("pos_a", "pos_b")).alias("seed2"),
+            F.count(F.lit(1)).alias("n_shared_fps"),
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("seed.pos_a").alias("pos_a"),
+            F.col("seed.pos_b").alias("pos_b"),
+            F.col("seed2.pos_a").alias("pos_a2"),
+            F.col("seed2.pos_b").alias("pos_b2"),
+            "n_shared_fps",
+        )
+    )
+    if min_shared_fps > 1:
+        out = out.filter(F.col("n_shared_fps") >= min_shared_fps)
+    return out
+
+
 def _extend_match(ba: bytes, bb: bytes, pa: int, pb: int, k: int) -> int:
     """Greedily extend an exact k-gram seed match left and right over utf-8
     BYTES; returns the maximal common substring length around the seed (0 if

@@ -40,10 +40,18 @@ TURNS_DDL = (
 class IncrementalDedup:
     """foreachBatch sink: maintains signatures + band index + dup pairs."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, cfg: DedupConfig | None = None):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cfg: DedupConfig | None = None,
+                 enable_overlap: bool = True):
         self.spark = spark
         self.index_dir = index_dir
         self.cfg = cfg or DedupConfig()
+        # batch-parity: the winnowing long-overlap stage also runs
+        # incrementally (new docs' fingerprints probe a persistent fp
+        # index; texts of indexed representatives are kept so the exact
+        # extension can verify both sides). Overlap evidence lands in
+        # dup_pairs with the batch path's jaccard = -1 marker.
+        self.enable_overlap = enable_overlap
         fs, root = self._fs()
         fs.create_dir(root, recursive=True)
 
@@ -211,6 +219,50 @@ class IncrementalDedup:
             .select("id_a", "id_b").distinct()
         )
         cands = hits_old.unionByName(hits_new).distinct()
+
+        # long-overlap stage, incremental (batch analog: pipeline.py
+        # overlap_pairs): fresh reps' winnow fingerprints probe the
+        # persistent overlap_fps index under the SAME shared-fp and hot
+        # gates as the batch operator; pairs verify by exact extension over
+        # the texts table. ov_pairs candidates join the Jaccard verify
+        # below; substring-proven pairs that fail Jaccard keep the batch
+        # path's jaccard = -1 evidence marker.
+        ov_pairs = None
+        if self.enable_overlap:
+            from .operators.suffix import (
+                overlap_candidates_probe,
+                verify_overlaps,
+                winnow_fingerprints,
+            )
+
+            new_fps = winnow_fingerprints(
+                fresh_reps_docs, cfg.winnow_kgram_chars, cfg.winnow_window
+            ).localCheckpoint(eager=True)
+            if self._exists("overlap_fps"):
+                idx_ofps = self._read_table("overlap_fps",
+                                            exclude_batch=batch_id)
+                idx_texts = self._read_table("texts", exclude_batch=batch_id)
+            else:
+                idx_ofps = new_fps.limit(0)
+                idx_texts = fresh_reps_docs.select(
+                    "doc_id", "doc_text"
+                ).limit(0)
+            ov_cands = overlap_candidates_probe(
+                idx_ofps, new_fps,
+                hot_cap=cfg.overlap_hot_cap,
+                min_shared_fps=cfg.overlap_min_shared_fps,
+            )
+            texts_all = idx_texts.unionByName(
+                fresh_reps_docs.select("doc_id", "doc_text")
+            )
+            ov_pairs = (
+                verify_overlaps(ov_cands, texts_all, cfg.winnow_kgram_chars,
+                                cfg.min_overlap_chars)
+                .select("id_a", "id_b")
+                .localCheckpoint(eager=True)
+            )
+            cands = cands.unionByName(ov_pairs).distinct()
+
         all_sigs = idx_sigs.unionByName(sigs).localCheckpoint(eager=True)
 
         from .operators.verify import verify_pairs_exact_jaccard
@@ -221,6 +273,13 @@ class IncrementalDedup:
         dup = dup.unionByName(exact_pairs.select("id_a", "id_b", "jaccard"))
         if exact_old is not None:
             dup = dup.unionByName(exact_old)
+        if ov_pairs is not None:
+            # overlap-evidence-only rows: substring-proven, below the
+            # Jaccard threshold (pipeline.py overlap_kept analog)
+            ov_only = ov_pairs.join(
+                dup.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+            ).withColumn("jaccard", F.lit(-1.0))
+            dup = dup.unionByName(ov_only)
         dup = dup.groupBy("id_a", "id_b").agg(F.max("jaccard").alias("jaccard"))
         # materialize BEFORE touching the index dirs: dup's lazy plan reads
         # the existing bands/signatures batches, and a replay OVERWRITES this
@@ -246,6 +305,17 @@ class IncrementalDedup:
             "fp_index", batch_id,
         )
         self._write_batch(dup, "dup_pairs", batch_id)
+        if self.enable_overlap:
+            self._write_batch(new_fps, "overlap_fps", batch_id)
+            # texts of fresh representatives: the overlap verify of every
+            # FUTURE batch needs the indexed side's raw text. At cluster
+            # scale this table is a projection of the corpus the stream
+            # already owns — point it at the source table instead of
+            # materializing when storage matters.
+            self._write_batch(
+                fresh_reps_docs.select("doc_id", "doc_text"), "texts",
+                batch_id,
+            )
         # A5 analog: dropped hot buckets are recorded, never silent
         self._write_batch(hot, "hot_band_drops", batch_id)
         with fs.open_output_stream(done_marker) as f:

@@ -240,3 +240,55 @@ def test_redelivered_conversation_no_self_pair(spark, tmp_path):
 
     pairs = inc.dup_pairs()
     assert pairs.filter(F.col("id_a") == F.col("id_b")).count() == 0
+
+
+def test_streaming_cross_batch_overlap(spark, tmp_path):
+    """Batch parity for the long-overlap stage: a >=200-char verbatim
+    passage shared by docs in DIFFERENT micro-batches must surface in
+    dup_pairs as overlap evidence (jaccard = -1: substring-proven, below
+    the Jaccard threshold), via the persistent overlap_fps index probe."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+
+    def words(n, tag):
+        return " ".join(
+            f"{tag}{rng.integers(0, 99999)}word{i}" for i in range(n)
+        )
+
+    passage = ("the exact shared passage flows verbatim through both "
+               "conversations carrying enough characters to clear the "
+               "two hundred char report threshold with margin to spare "
+               "and then some extra padding words for safety here now")
+    assert len(passage) >= 200
+    doc_a = words(80, "alpha") + " " + passage
+    doc_b = words(80, "beta") + " " + passage + " " + words(15, "tail")
+    doc_c = words(90, "gamma")
+
+    inc = IncrementalDedup(spark, str(tmp_path / "index"), CFG)
+    inc.process_batch(
+        spark.createDataFrame(_mk_turns([("convA", doc_a)]), TURNS_DDL), 0
+    )
+    inc.process_batch(
+        spark.createDataFrame(
+            _mk_turns([("convB", doc_b), ("convC", doc_c)]), TURNS_DDL
+        ),
+        1,
+    )
+
+    id_map = {r.conv_id: r.doc_id
+              for r in inc.docs().select("conv_id", "doc_id").collect()}
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in inc.dup_pairs().collect()}
+    want = tuple(sorted((id_map["convA"], id_map["convB"])))
+    assert want in pairs, f"cross-batch overlap pair missing, got {pairs}"
+    assert pairs[want] == -1.0  # substring-proven, sub-threshold Jaccard
+    assert all(id_map["convC"] not in p for p in pairs)
+
+    # the overlap stage can be disabled (no fp/text index tables written)
+    inc2 = IncrementalDedup(spark, str(tmp_path / "index2"), CFG,
+                            enable_overlap=False)
+    inc2.process_batch(
+        spark.createDataFrame(_mk_turns([("convA", doc_a)]), TURNS_DDL), 0
+    )
+    assert not inc2._exists("overlap_fps")
+    assert not inc2._exists("texts")

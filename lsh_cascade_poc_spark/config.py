@@ -71,7 +71,12 @@ class DedupConfig:
     # winnowing window. Guarantee: any shared stretch of >= window + k - 1
     # chars yields a shared fingerprint, so with min_shared_fps = 2 every
     # overlap of >= 2*(window+k-1) = 174 chars < min_overlap_chars is
-    # caught DETERMINISTICALLY (each disjoint half guarantees one fp).
+    # guaranteed to SURVIVE CANDIDATE GENERATION (each disjoint half
+    # guarantees one shared fp). The determinism claim is scoped to the
+    # candidate stage: verify_overlaps extends from the min- and max-position
+    # shared seeds, and in principle both could be accidental >=k-char
+    # collisions OUTSIDE the true overlap region, dropping a true pair at
+    # verify — two seeds make that improbable, not impossible (ADVICE r3).
     # Sized to the 200-char report threshold, NOT tighter: fingerprint
     # density is ~2/(window+1) per char, and the fp table feeds a self-join
     # — at window=32 (the old value, guarantee floor 55 chars) the bench

@@ -1469,21 +1469,74 @@ def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _itq64_fold_model(x):
+    """_itq16_fold_model at the PRODUCTION bit width (64 bits, n_iter=25 —
+    the same deterministic driver-side itq_fit the production
+    fit_itq_on_dataframe path runs): W = pca @ rotation (64 x 64) and
+    c = mean @ W, rounded to 6 decimals for literal inlining."""
+    import numpy as np
+
+    from lsh_cascade_poc_spark.embedding.itq import itq_fit
+
+    m = itq_fit(x, 64, n_iter=25, seed=42)
+    w = m.pca.astype(np.float64) @ m.rotation.astype(np.float64)
+    c = m.mean.astype(np.float64) @ w
+    return np.round(w, 6), np.round(c, 6)
+
+
+def _itq64_bit_term(j: int, spark_side: bool) -> str:
+    """Bit-j pack weight as a SQL literal. Bit 63 is long-min: both engines
+    reject a literal 1<<63 (Spark's parser overflows the long literal, DuckDB
+    raises on the shift), so it is emitted as (-(2^63-1) - 1); summing it
+    FIRST keeps every partial sum inside int64 under ANSI/DuckDB overflow
+    checks (the 63 positive terms total at most 2^63 - 1)."""
+    if j == 63:
+        return ("(CAST(-9223372036854775807 AS BIGINT) - 1L)" if spark_side
+                else "(-9223372036854775807::BIGINT - 1)")
+    return f"{1 << j}L" if spark_side else str(1 << j)
+
+
 def q_itq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H9/H10/H11: ITQ fit (driver, bounded sample) + transform (Arrow UDF)
-    -> packed int64 code lanes. Rows-only; numpy parity in tests."""
-    from lsh_cascade_poc_spark.embedding.itq import fit_itq_on_dataframe, make_itq_udf
+    """H9/H10/H11 oracle-exact (promoted r4, VERDICT r3 #7): ITQ fit at the
+    PRODUCTION bit width (64 bits, deterministic driver-side itq_fit on the
+    vec_id-ordered matrix — the same fit the production fit_itq_on_dataframe
+    path computes) + transform + bits->int64 pack (codes_to_lanes bit j =
+    1<<j convention), as a Catalyst fold over inlined 6-decimal fitted
+    literals. Identical literals in both engines => identical sequential
+    double folds => identical sign bits => identical packed codes (the
+    q_itq_transform treatment at 4x the width; ref transform
+    src/itq_lsh.py:130-161). The production Arrow UDF (make_itq_udf) stays
+    pytest-parity-gated against numpy (tests/test_embedding.py)."""
+    import numpy as np
 
     emb = _read(spark, sf_dir, "embeddings")
-    model = fit_itq_on_dataframe(emb, "embedding", 64, n_iter=25, order_col="vec_id")
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
+    w, c = _itq64_fold_model(x)
+    bits = []
+    for j in (63, *range(63)):  # long-min term first: see _itq64_bit_term
+        lits = ", ".join(f"{v:.6f}D" for v in w[:, j])
+        bits.append(
+            f"(CASE WHEN round(aggregate(zip_with(embedding, array({lits}),"
+            f" (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+            f" - {c[j]:.6f}D, 6) >= 0D THEN {_itq64_bit_term(j, True)}"
+            f" ELSE 0L END)"
+        )
     return emb.select(
-        "vec_id", make_itq_udf(model)("embedding").alias("itq_lanes")
-    ).select("vec_id", F.element_at("itq_lanes", 1).alias("itq_code"))
+        "vec_id", F.expr(f"CAST({' + '.join(bits)} AS BIGINT)").alias("itq_code")
+    )
 
 
 def q_e2lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H12/F3: E2LSH bucket hashing + all-pairs bucket join. Rows-only;
-    numpy parity + collision-prob tests in tests/test_embedding.py."""
+    """H12/F3: E2LSH bucket hashing + all-pairs bucket join. PERMANENTLY
+    rows-only (VERDICT r3 #7): the production kernel floors float32
+    (a.x + b) / w projections, and float32 dot-accumulation order is not
+    reproducible in an engine that only folds in DOUBLE — a boundary
+    projection can floor differently, so the bucket ids genuinely cannot be
+    pinned cross-engine without changing the production dtype. The hash
+    DEFINITION is pinned instead by q_e2lsh_buckets/q_e2lsh_multiprobe
+    (literal-fold DOUBLE variant, hash-exact); this production path is
+    numpy-parity + collision-prob gated in tests/test_embedding.py."""
     from lsh_cascade_poc_spark.embedding.e2lsh import (
         e2lsh_candidate_pairs,
         explode_e2lsh_buckets,
@@ -2887,6 +2940,26 @@ def oracle_sql() -> dict[str, str]:
             )
         sql["itq_transform"] = (
             f"SELECT vec_id, CAST({' + '.join(bits)} AS INT) AS itq16"
+            f" FROM embeddings"
+        )
+
+        # ITQ codes at the PRODUCTION 64-bit width (q_itq_codes): same
+        # literal-fold treatment, bit-63 emitted as long-min and summed
+        # first so every partial sum stays inside int64 (DuckDB raises on
+        # BIGINT overflow; see _itq64_bit_term)
+        w64, c64 = _itq64_fold_model(x)
+        bits64 = []
+        for j in (63, *range(63)):
+            lits64 = ", ".join(f"{v:.6f}" for v in w64[:, j])
+            bits64.append(
+                f"(CASE WHEN round(list_reduce(list_transform("
+                f"generate_series(1, 64),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * ([{lits64}])[i]),"
+                f" (x, y) -> x + y) - {c64[j]:.6f}, 6) >= 0"
+                f" THEN {_itq64_bit_term(j, False)} ELSE 0 END)"
+            )
+        sql["itq_codes"] = (
+            f"SELECT vec_id, CAST({' + '.join(bits64)} AS BIGINT) AS itq_code"
             f" FROM embeddings"
         )
 

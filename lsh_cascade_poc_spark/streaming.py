@@ -461,13 +461,22 @@ class IncrementalDedup:
 
     def docs(self) -> DataFrame:
         """Narrow per-doc bookkeeping for EVERY ingested doc:
-        (conv_id, doc_id, fingerprint, _root). NOTE: _root is the
-        WITHIN-BATCH exact-group root only — an exact group straddling
-        batches carries one root per batch, connected through the
-        jaccard=1.0 rows in dup_pairs (the fp_index attachment edges);
-        enumerate global exact groups by grouping on `fingerprint`, or via
-        connected components over dup_pairs."""
-        return self._read_table("docs")
+        (conv_id, doc_id, fingerprint, _root). _root is the GLOBAL
+        exact-group root (the fingerprint's first-indexed representative,
+        resolved through fp_index at read time — one row per distinct
+        fingerprint ever seen), so an exact group straddling micro-batches
+        reads with ONE root; the per-batch rows on disk keep their
+        within-batch root untouched for idempotent replays."""
+        d = self._read_table("docs")
+        if not self._exists("fp_index"):
+            return d
+        fp = self._read_table("fp_index")
+        return (
+            d.drop("_root")
+            .join(fp, "fingerprint", "left")
+            .withColumn("_root", F.coalesce("root_id", F.col("doc_id")))
+            .drop("root_id")
+        )
 
     def hot_band_drops(self) -> DataFrame:
         """Recorded hot-bucket drops (tier, band_id, band_key, n_docs) per

@@ -360,3 +360,23 @@ def test_compaction_preserves_results_and_bounds_files(spark, tmp_path):
     assert inc_c._read_table("bands").count() == \
         inc_n._read_table("bands").count()
     assert len(batch_dirs("ix_c", "bands")) == n_bands_before
+
+
+def test_docs_root_is_global_across_batches(spark, tmp_path):
+    """VERDICT r3 #8: an exact-fingerprint group straddling micro-batches
+    reads back from docs() with ONE global _root (the fingerprint's
+    first-indexed representative), not one root per batch."""
+    text = " ".join(f"tok{i} shared exact payload" for i in range(30))
+    inc = IncrementalDedup(spark, str(tmp_path / "index"), CFG)
+    inc.process_batch(
+        spark.createDataFrame(_mk_turns([("c0", text), ("c1", text)]),
+                              TURNS_DDL), 0)
+    inc.process_batch(
+        spark.createDataFrame(_mk_turns([("c2", text)]), TURNS_DDL), 1)
+
+    rows = inc.docs().select("conv_id", "doc_id", "_root").collect()
+    assert len(rows) == 3
+    roots = {r._root for r in rows}
+    assert len(roots) == 1, f"expected one global root, got {roots}"
+    ids = {r.conv_id: r.doc_id for r in rows}
+    assert roots == {ids["c0"]} or roots == {ids["c1"]}  # batch-0 rep

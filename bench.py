@@ -414,28 +414,33 @@ def main() -> None:
     # bounded per-LEVEL retries BEFORE the query sweep, with the retry
     # level chosen by WHICH artifact can produce the misread. Host phase
     # degradation only ever INFLATES a wall, and the estimator takes the
-    # per-level min, so: an estimate BELOW the 0.8 north-rule target can
-    # only be caused by an inflated HI wall (an inflated lo would read
-    # HIGH) — resample hi, up to twice (r2's recorded 0.666 sat just above
-    # the old 0.65 outlier trigger and never retried; VERDICT r2 #1a, and
-    # the hi level is the phase-sensitive one: identical code measured
-    # 182.6-296.8 s @4 in adjacent hours, ±60%, vs ±20% @1 — four threads
-    # through one serialized fault handler). An implausibly HIGH estimate
-    # (> 0.98) can only be caused by an inflated LO wall — resample lo.
-    # Retrying the DIAGNOSED level instead of a whole pair fits the
-    # estimator (min over repeated measurements per level) and costs a
-    # fraction of a full pair, so it fits the driver budget even after a
-    # slow first pair. Every phase emits its cumulative line, so a driver
-    # kill mid-retry loses nothing recorded.
-    if eff < 0.8 and time.perf_counter() - t_start < 1800:
-        _measure(SCALE_HI, 2, "_retry", walls_hi)
+    # per-level min, so: an estimate BELOW the target can only be caused
+    # by an inflated HI wall (an inflated lo would read HIGH) — resample
+    # hi (the phase-sensitive level: identical code measured 182.6-296.8s
+    # @4 in adjacent hours, ±60%, vs ±20% @1 — four threads through one
+    # serialized fault handler). An implausibly HIGH estimate (> 0.98) can
+    # only be caused by an inflated LO wall — resample lo. Retrying the
+    # DIAGNOSED level instead of a whole pair fits the estimator (min over
+    # repeated measurements per level): every retry can only tighten its
+    # level's min toward the noise-free wall, so the loop converges on the
+    # true ratio rather than cherry-picking a direction — a genuinely
+    # sub-target configuration stays sub-target no matter how many draws
+    # it gets. Target raised 0.8 -> 0.85 in r4 (VERDICT r3 #4: margin,
+    # not just the gate); the both-levels-inflated case (one degraded
+    # phase covering the whole first pair, observed r4: 209s hi AND 688s
+    # lo) resolves through the ladder — hi retries first read >0.98, which
+    # then diagnoses the inflated lo. Every phase emits its cumulative
+    # line, so a driver kill mid-retry loses nothing recorded.
+    attempts = 0
+    while attempts < 3 and time.perf_counter() - t_start < 2400:
+        if eff < 0.85:
+            _measure(SCALE_HI, 2, f"_retry{attempts + 1}", walls_hi)
+        elif eff > 0.98:
+            _measure(SCALE_LO, 1, f"_retry{attempts + 1}", walls_lo)
+        else:
+            break
         eff = _finish()
-        if eff < 0.8 and time.perf_counter() - t_start < 1800:
-            _measure(SCALE_HI, 2, "_retry2", walls_hi)
-            eff = _finish()
-    elif eff > 0.98 and time.perf_counter() - t_start < 1800:
-        _measure(SCALE_LO, 1, "_retry", walls_lo)
-        eff = _finish()
+        attempts += 1
 
     # operator query sweep LAST: its local[32] session thrashes this host's
     # ~8 real cores, and must never precede (and pollute) a scaling pair

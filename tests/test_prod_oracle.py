@@ -173,3 +173,28 @@ def test_prod_lsh_pairs_duckdb_oracle_sf0001(spark):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+def test_dedup_pairs_duckdb_oracle_sf0001(spark):
+    """The full-cascade dedup_pairs oracle (r4) pinned at a SECOND scale
+    factor beyond the driver's sf0.01 gate: assembly, md5 collapse,
+    signature kernel, both band tiers, SimHash pass, verify prunes and the
+    exact-Jaccard values must all agree or the pair set / scores drift."""
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (r.conv_a, r.conv_b, round(r.jaccard, 9))
+        for r in entry.queries()["dedup_pairs"](spark, SF001).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{SF001}/documents.parquet')"
+    )
+    want = sorted(
+        (a, b, round(j, 9))
+        for a, b, j in con.execute(entry.oracle_sql()["dedup_pairs"]).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0

@@ -96,3 +96,36 @@ def test_quality_and_langid_and_fingerprint(spark):
     assert rows[1].lang == "es"
     assert rows[2].lang == "und"
     assert len(rows[0].fp) == 32
+
+
+def test_shingled_queries_survive_short_token_docs(spark, tmp_path):
+    """ADVICE r3 (medium): Catalyst pushes the explode-inferred
+    size(shingles) > 0 predicate below the size(toks) >= 3 filter, inlining
+    the trigram slice into the scan filter where 1-2-token docs still
+    exist; the unclamped `size(toks) - 2` slice length crashed
+    contamination_overlap / containment_pairs with
+    INVALID_PARAMETER_VALUE.LENGTH. The driver corpus happens to avoid the
+    shape, so pin it with a synthetic one: a single >= 10-char token passes
+    the normalize floor but has < 3 tokens."""
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "superlongsingletoken",          # 1 token, >= 10 chars
+            "two tokens_here_long_enough",   # 2 tokens
+            "three tokens are here now plus some more words for shingles",
+            "three tokens are here now plus some more words for shingle",
+        ],
+        "source": ["s"] * 4,
+        "lang": ["en"] * 4,
+    })
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    # must not raise; short-token docs contribute no shingles
+    out = entry.q_contamination_overlap(spark, sf).collect()
+    assert isinstance(out, list)
+    pairs = entry.q_shingle_pairs_jaccard(spark, sf).collect()
+    assert all({r.id_a, r.id_b} <= {3, 4} for r in pairs)

@@ -175,7 +175,17 @@ def simhash_candidate_pairs(
 
 def overlap_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Winnowing fingerprints -> seed candidates -> exact extension; emits
-    pairs sharing an exact substring of >= min_overlap_chars."""
+    pairs sharing an exact substring of >= min_overlap_chars.
+
+    Docs shorter than min_overlap_chars BYTES (the kernel and verifier
+    measure UTF-8 bytes) cannot appear in any reportable pair — a shared
+    substring of length L requires both docs >= L — so they are gated out
+    before the fingerprint kernel: an EXACT prefilter (zero recall loss)
+    that shrinks the kernel input, the fp table and the self-join, all
+    narrow filters over the already-materialized docs checkpoint."""
+    docs = docs.filter(
+        F.octet_length(F.col("doc_text")) >= cfg.min_overlap_chars
+    )
     fps = winnow_fingerprints(docs, cfg.winnow_kgram_chars, cfg.winnow_window)
     cands = overlap_candidates(fps, hot_cap=cfg.overlap_hot_cap,
                                min_shared_fps=cfg.overlap_min_shared_fps)

@@ -345,8 +345,13 @@ class IncrementalDedup:
                 winnow_fingerprints,
             )
 
+            # exact prefilter (batch parity, pipeline.overlap_pairs): docs
+            # shorter than min_overlap_chars bytes can never verify
+            long_reps = fresh_reps_docs.filter(
+                F.octet_length(F.col("doc_text")) >= cfg.min_overlap_chars
+            )
             new_fps = winnow_fingerprints(
-                fresh_reps_docs, cfg.winnow_kgram_chars, cfg.winnow_window
+                long_reps, cfg.winnow_kgram_chars, cfg.winnow_window
             ).localCheckpoint(eager=True)
             if self._exists("overlap_fps"):
                 idx_ofps = self._read_table("overlap_fps",
@@ -363,7 +368,7 @@ class IncrementalDedup:
                 min_shared_fps=cfg.overlap_min_shared_fps,
             )
             texts_all = idx_texts.unionByName(
-                fresh_reps_docs.select("doc_id", "doc_text")
+                long_reps.select("doc_id", "doc_text")
             )
             ov_pairs = (
                 verify_overlaps(ov_cands, texts_all, cfg.winnow_kgram_chars,
@@ -417,13 +422,14 @@ class IncrementalDedup:
         self._write_batch(dup, "dup_pairs", batch_id)
         if self.enable_overlap:
             self._write_batch(new_fps, "overlap_fps", batch_id)
-            # texts of fresh representatives: the overlap verify of every
-            # FUTURE batch needs the indexed side's raw text. At cluster
-            # scale this table is a projection of the corpus the stream
-            # already owns — point it at the source table instead of
-            # materializing when storage matters.
+            # texts of fresh LONG representatives (every possible verify
+            # candidate is gated, so short docs are dead weight here): the
+            # overlap verify of every FUTURE batch needs the indexed side's
+            # raw text. At cluster scale this table is a projection of the
+            # corpus the stream already owns — point it at the source table
+            # instead of materializing when storage matters.
             self._write_batch(
-                fresh_reps_docs.select("doc_id", "doc_text"), "texts",
+                long_reps.select("doc_id", "doc_text"), "texts",
                 batch_id,
             )
         # A5 analog: dropped hot buckets are recorded, never silent

@@ -36,7 +36,13 @@ every phase; the driver reads the LAST parseable line.
 Output: {"metric": "...", "value": total_sec, "unit": "sec",
          "queries": {name: sec, ...}, "sf": ...,
          "turns_per_sec_hi": ..., "turns_per_sec_lo": ...,
-         "scaling_efficiency": ..., "cores_hi": 4N, "cores_lo": N}
+         "scaling_efficiency": ..., "cores_hi": 4N, "cores_lo": N,
+         "dup_pair_recall": ..., "recall": {per-kind planted-family detail}}
+
+dup_pair_recall (north-rule clause 1) is measured against the corpus's
+PLANTED duplicate families (the generator's ground truth, recall.py):
+fraction of planted pairs with true Jaccard >= threshold that share a
+cluster. Computed UNTIMED during the initial hi phase, after run 0's wall.
 """
 
 from __future__ import annotations
@@ -155,13 +161,21 @@ def _phase_gen() -> dict:
     return {"generated": True}
 
 
-def _phase_pipeline(cores: int, n_runs: int) -> dict:
+def _phase_pipeline(cores: int, n_runs: int, measure_recall: bool = False) -> dict:
     """Full cascade x n_runs at local[cores] -> walls + cluster count.
 
     Stages are DISK-backed per run (ephemeral StageStore) so repeat runs keep
     the JVM heap flat — block-manager-cached stages made later runs SLOWER on
     this host (balloon refaults). The caller takes min() over n_runs as
     insurance against host noise.
+
+    measure_recall (initial hi phase only): after run 0's wall is captured
+    (and its cumulative line already emitted — the headline wall must not
+    wait), compute dup-pair recall vs the corpus's PLANTED duplicate
+    families (north-rule clause 1; lsh_cascade_poc_spark/recall.py) off the
+    run's still-materialized stages. Untimed by construction: it runs
+    OUTSIDE the t0..wall window, and the min-per-level estimator absorbs any
+    page-cache perturbation of the following run.
     """
     import gc
     import tempfile
@@ -177,7 +191,8 @@ def _phase_pipeline(cores: int, n_runs: int) -> dict:
 
     walls: list[float] = []
     n_clusters = -1
-    for _ in range(max(1, n_runs)):
+    recall: dict | None = None
+    for run_i in range(max(1, n_runs)):
         with tempfile.TemporaryDirectory(prefix="bench_stages_") as tmp:
             store = StageStore(spark=spark, work_dir=tmp, config_hash="run")
             t0 = time.perf_counter()
@@ -185,6 +200,17 @@ def _phase_pipeline(cores: int, n_runs: int) -> dict:
                             enable_overlap_stage=True)
             nc = res.clusters.select("cluster_id").distinct().count()
             wall = time.perf_counter() - t0
+            if measure_recall and run_i == 0:
+                # emit the wall line FIRST (same shape as below, so the
+                # parent's estimator sees the headline immediately), then
+                # compute recall while the run's stages are still on disk
+                print(json.dumps({"cores": cores,
+                                  "walls": walls + [round(wall, 3)],
+                                  "n_turns": n_turns, "n_clusters": nc}),
+                      flush=True)
+                from lsh_cascade_poc_spark.recall import recall_report
+
+                recall = recall_report(res, cfg)
             del res
             gc.collect()
         assert n_clusters in (-1, nc), "pipeline nondeterministic across runs"
@@ -194,11 +220,17 @@ def _phase_pipeline(cores: int, n_runs: int) -> dict:
         # each wall into the min-per-level estimator and re-emits the
         # cumulative driver line immediately, so a driver-budget kill
         # mid-phase records the best estimate as of the last FINISHED run
-        print(json.dumps({"cores": cores, "walls": walls, "n_turns": n_turns,
-                          "n_clusters": n_clusters}), flush=True)
+        line = {"cores": cores, "walls": walls, "n_turns": n_turns,
+                "n_clusters": n_clusters}
+        if recall is not None:
+            line["recall"] = recall
+        print(json.dumps(line), flush=True)
     spark.stop()
-    return {"cores": cores, "walls": walls, "n_turns": n_turns,
-            "n_clusters": n_clusters}
+    out = {"cores": cores, "walls": walls, "n_turns": n_turns,
+           "n_clusters": n_clusters}
+    if recall is not None:
+        out["recall"] = recall
+    return out
 
 
 def _phase_queries() -> dict:
@@ -314,7 +346,8 @@ def main() -> None:
         elif phase == "pipeline":
             cores = int(sys.argv[sys.argv.index("--cores") + 1])
             n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
-            out = _phase_pipeline(cores, n_runs)
+            out = _phase_pipeline(cores, n_runs,
+                                  measure_recall="--recall" in sys.argv)
         elif phase == "queries":
             out = _phase_queries()
         else:
@@ -340,7 +373,8 @@ def main() -> None:
     walls_lo: list[float] = []
     meta: dict = {}
 
-    def _measure(cores: int, runs: int, tag: str, dest: list[float]) -> None:
+    def _measure(cores: int, runs: int, tag: str, dest: list[float],
+                 recall: bool = False) -> None:
         # dest is EXPLICIT (not inferred from cores): with BENCH_SCALE_HI=1
         # or SPARK_GRAFT_CPUS=1 both levels run at 1 core and a cores-based
         # routing would starve walls_lo
@@ -360,6 +394,12 @@ def main() -> None:
                     f"cluster count differs across parallelism: "
                     f"{meta['n_clusters']} vs {out['n_clusters']}"
                 )
+            if "recall" in out:
+                # north-rule clause 1, measured on this corpus's planted
+                # duplicate families (recall.py): headline scalar + full
+                # per-kind detail in the driver line
+                extra["dup_pair_recall"] = out["recall"].get("contract_recall")
+                extra["recall"] = out["recall"]
             meta.update({"n_turns": out["n_turns"],
                          "n_clusters": out["n_clusters"]})
             extra.update({"n_turns": out["n_turns"],
@@ -373,7 +413,7 @@ def main() -> None:
                 _emit(results, {**extra, "partial": True})
 
         _run_child("pipeline", "--cores", str(cores), "--runs", str(runs),
-                   on_line=_fold)
+                   *(["--recall"] if recall else []), on_line=_fold)
 
     def _finish() -> float:
         wall_hi = min(walls_hi)
@@ -407,7 +447,9 @@ def main() -> None:
     # per-run streaming emission inside _measure: the headline hi wall lands
     # after hi run0 (~4 min), the first efficiency estimate the moment the
     # lo run completes, and every retry run immediately improves the line
-    _measure(SCALE_HI, 2, "", walls_hi)
+    # the initial hi phase also measures planted-family dup-pair recall
+    # (untimed, after run 0's wall is captured — see _phase_pipeline)
+    _measure(SCALE_HI, 2, "", walls_hi, recall=True)
     _measure(SCALE_LO, 1, "", walls_lo)
     eff = _finish()
 

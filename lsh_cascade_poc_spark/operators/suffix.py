@@ -330,9 +330,8 @@ def winnow_fingerprints(docs: DataFrame, k: int, w: int,
 
 def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
                        min_shared_fps: int = 1) -> DataFrame:
-    """Self-join fingerprints -> (id_a, id_b, pos_a, pos_b) seed candidates,
-    keeping ONE seed per pair (the lexicographically smallest) to bound the
-    verify stage.
+    """Self-join fingerprints -> per-pair seed candidates (three seeds per
+    pair, see _pair_seed_agg) bounding the verify stage.
 
     Skew control: fingerprints shared by more than `hot_cap` docs are
     boilerplate (short repeated turns), not long-overlap evidence — dropped
@@ -367,19 +366,56 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
     )
     a = cold.select("fp", F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"))
     b = cold.select("fp", F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"))
-    out = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+    out = _pair_seed_agg(
+        a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+    )
+    if min_shared_fps > 1:
+        out = out.filter(F.col("n_shared_fps") >= min_shared_fps)
+    return out
+
+
+def _pair_seed_agg(joined: DataFrame) -> DataFrame:
+    """Pair-level seed selection shared by the batch and probe candidate
+    operators: joined(id_a, id_b, pos_a, pos_b) -> one row per pair with
+    THREE verify seeds + the shared-fp count.
+
+      * seed / seed2 — boundary seeds (min / max position struct): cheap,
+        and one of them lands inside the true overlap whenever no accidental
+        shared k-gram flanks it on that side.
+      * seed3 — one seed from the dominant ALIGNMENT group. A true overlap
+        is contiguous in BOTH docs, so all its shared fingerprints sit at a
+        single delta = pos_a - pos_b, and any overlap >= 2*(window+k-1)
+        chars contributes >= 2 fps at that one delta; accidental collisions
+        (shared boilerplate k-grams OUTSIDE the overlap — the ADVICE r3
+        drop scenario, where both boundary seeds are boilerplate) land at
+        scattered, mostly-singleton deltas. Extending from the
+        most-populated delta (ties broken toward the smallest delta, so the
+        choice is deterministic) recovers the pair unless some accidental
+        alignment strictly dominates the true one AND both boundaries are
+        accidental. Aggregation is two codegen hash aggregates (per-delta,
+        then per-pair) — no collect_list, nothing unbounded per pair.
+    """
+    by_delta = (
+        joined.select("id_a", "id_b", "pos_a", "pos_b")
+        .withColumn("delta", F.col("pos_a") - F.col("pos_b"))
+        .groupBy("id_a", "id_b", "delta")
         .agg(
-            # TWO seeds per pair (first and last shared fp by position): a
-            # single min-position seed can be an accidental short match
-            # OUTSIDE the true overlap region, silently dropping a real
-            # >=min_overlap pair at verify. Verify extends both seeds and
-            # keeps the better extension.
-            F.min(F.struct("pos_a", "pos_b")).alias("seed"),
-            F.max(F.struct("pos_a", "pos_b")).alias("seed2"),
-            F.count(F.lit(1)).alias("n_shared_fps"),
+            F.min(F.struct("pos_a", "pos_b")).alias("dmin"),
+            F.max(F.struct("pos_a", "pos_b")).alias("dmax"),
+            F.count(F.lit(1)).alias("dn"),
+        )
+    )
+    return (
+        by_delta.groupBy("id_a", "id_b")
+        .agg(
+            F.min("dmin").alias("seed"),
+            F.max("dmax").alias("seed2"),
+            # deterministic: ord is (count, -delta) and delta is unique
+            # within the pair's groups, so no max_by ties exist
+            F.max_by(
+                "dmin", F.struct(F.col("dn"), (-F.col("delta")).alias("nd"))
+            ).alias("seed3"),
+            F.sum("dn").alias("n_shared_fps"),
         )
         .select(
             "id_a", "id_b",
@@ -387,12 +423,11 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
             F.col("seed.pos_b").alias("pos_b"),
             F.col("seed2.pos_a").alias("pos_a2"),
             F.col("seed2.pos_b").alias("pos_b2"),
+            F.col("seed3.pos_a").alias("pos_a3"),
+            F.col("seed3.pos_b").alias("pos_b3"),
             "n_shared_fps",
         )
     )
-    if min_shared_fps > 1:
-        out = out.filter(F.col("n_shared_fps") >= min_shared_fps)
-    return out
 
 
 def overlap_candidates_probe(
@@ -431,24 +466,10 @@ def overlap_candidates_probe(
         "fp", F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"),
         F.col("is_new").alias("new_b"),
     )
-    out = (
+    out = _pair_seed_agg(
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.col("new_a") | F.col("new_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.min(F.struct("pos_a", "pos_b")).alias("seed"),
-            F.max(F.struct("pos_a", "pos_b")).alias("seed2"),
-            F.count(F.lit(1)).alias("n_shared_fps"),
-        )
-        .select(
-            "id_a", "id_b",
-            F.col("seed.pos_a").alias("pos_a"),
-            F.col("seed.pos_b").alias("pos_b"),
-            F.col("seed2.pos_a").alias("pos_a2"),
-            F.col("seed2.pos_b").alias("pos_b2"),
-            "n_shared_fps",
-        )
     )
     if min_shared_fps > 1:
         out = out.filter(F.col("n_shared_fps") >= min_shared_fps)
@@ -501,14 +522,13 @@ def verify_overlaps(
                 continue
             lengths = [
                 max(
-                    _extend_match(ta, tb, int(pa), int(pb), k),
-                    _extend_match(ta, tb, int(pa2), int(pb2), k)
-                    if (pa2 != pa or pb2 != pb)
-                    else 0,
+                    _extend_match(ta, tb, int(pa), int(pb), k)
+                    for pa, pb in {(s1a, s1b), (s2a, s2b), (s3a, s3b)}
                 )
-                for ta, tb, pa, pb, pa2, pb2 in zip(
+                for ta, tb, s1a, s1b, s2a, s2b, s3a, s3b in zip(
                     pdf["text_a"], pdf["text_b"], pdf["pos_a"], pdf["pos_b"],
                     pdf["pos_a2"], pdf["pos_b2"],
+                    pdf["pos_a3"], pdf["pos_b3"],
                 )
             ]
             res = pd.DataFrame(

@@ -229,3 +229,25 @@ def test_empty_and_all_filtered_corpus(spark, tmp_path):
     assert res.docs.count() == 0          # all below min_doc_chars
     assert res.dup_pairs.count() == 0
     assert res.clusters.count() == 0
+
+
+def test_recall_report_module(spark_result):
+    """recall.py — the module bench.py publishes as the north-rule clause-1
+    metric (`dup_pair_recall`) — must read 1.0 contract recall on the tiny
+    planted corpus and stay internally consistent per kind. (The planted
+    ground truth itself is independently asserted pair-by-pair in
+    test_planted_duplicates_recovered; this pins the metric's aggregation.)"""
+    from lsh_cascade_poc_spark.recall import recall_report
+
+    rep = recall_report(spark_result, CFG)
+    assert rep["contract_pairs"] > 0
+    assert rep["contract_recall"] == 1.0
+    pk = rep["per_kind"]
+    for kind in ("exact", "whitespace"):
+        # byte-identical (exact) or shingle-identical (whitespace) variants:
+        # every planted pair is in-contract and must be co-clustered
+        assert pk[kind]["contract"] == pk[kind]["planted"]
+        assert pk[kind]["clustered"] == pk[kind]["planted"]
+    # substring plants are overlap-evidence by design, never contract rows
+    if "substring" in pk:
+        assert pk["substring"]["contract"] == 0

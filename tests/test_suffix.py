@@ -136,3 +136,39 @@ def test_overlap_candidates_prefilter_semantics(spark):
     )
     # singleton-heavy doc 3 pairs with nobody
     assert all(3 not in p for p in pairs)
+
+
+def test_true_overlap_flanked_by_boilerplate_seeds(spark):
+    """ADVICE r3 drop scenario: a true >=200-char overlap whose doc pair
+    ALSO shares boilerplate stretches positioned before AND after it — so
+    both boundary seeds (min/max position) land in boilerplate and extend
+    to < min_overlap_chars. The alignment-dominant third seed
+    (_pair_seed_agg seed3) must recover the pair: the true overlap's
+    fingerprints all share one pos_a - pos_b delta and outnumber each
+    boilerplate stretch's."""
+    bo1 = ("please review our terms of service and privacy policy before "
+           "continuing to use this product today")           # ~100 chars
+    bo2 = ("this transcript was generated automatically and may contain "
+           "transcription errors in various places")          # ~100 chars
+    ovl = "the actual duplicated conversation body segment " * 7  # ~340
+    docs = spark.createDataFrame(
+        [
+            (1, bo1 + " unique filler alpha for document one " + ovl
+                + " closing filler beta for document one " + bo2),
+            (2, bo2 + " different filler gamma for document two " + ovl
+                + " very different tail delta for doc two " + bo1),
+        ],
+        "doc_id long, doc_text string",
+    )
+    fps = winnow_fingerprints(docs, k=24, w=64)  # production kgram/window
+    cands = overlap_candidates(fps, hot_cap=200, min_shared_fps=2)
+    rows = cands.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the drop scenario is actually constructed: both boundary seeds sit in
+    # boilerplate (seed1 at the start of doc 1 = bo1, seed2 at its end = bo2)
+    assert r.pos_a < len(bo1), "min seed should land in the leading boilerplate"
+    assert r.pos_a2 > r.pos_a + len(ovl), "max seed should land past the overlap"
+    found = verify_overlaps(cands, docs, k=24, min_overlap_chars=200).collect()
+    assert [(x.id_a, x.id_b) for x in found] == [(r.id_a, r.id_b)]
+    assert found[0].overlap_chars >= len(ovl) - 2

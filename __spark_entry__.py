@@ -62,9 +62,12 @@ connected components) — are now hash-exact against a DuckDB reproduction of
 every stage (HUGEINT mod-2^64 arithmetic + recursive-CTE reachability),
 with outputs canonicalized to conv-id order so they are pure functions of
 the texts. q_itq_codes is hash-exact at the production 64-bit width via the
-fitted-literal fold. 50 oracle rows hash-exact, 3 rows-only
-(overlap_pairs' winnowing recall composite and the float32 production
-kernels e2lsh_pairs / media_dedup, all pytest-parity-gated).
+fitted-literal fold. 51 queries carry a hash-exact DuckDB oracle —
+overlap_pairs promoted r4 (winnow fps + three-seed selection + greedy byte
+extension, all in SQL; it sits outside the driver's 50-entry window, so its
+parity is enforced by tools/oracle_check.py and tests/test_prod_oracle.py).
+2 remain rows-only: the float32 production kernels e2lsh_pairs /
+media_dedup, both pytest-parity-gated.
 """
 
 from __future__ import annotations
@@ -823,8 +826,8 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection), oracle-exact (new in r3): the DuckDB oracle reproduces the
     wraparound arithmetic with HUGEINT mod 2^64 and the rightmost-min rule
     with an integer-packed windowed min — so the substring stage's
-    fingerprint definition is pinned cross-engine (overlap_pairs itself
-    stays rows-only: the greedy seed-extension verify is imperative).
+    fingerprint definition is pinned cross-engine (and since r4 the full
+    overlap_pairs composition has its own oracle built on these CTEs).
     Scope: ASCII-printable docs (utf-8 bytes == code points in both
     engines) of >= 56 normalized chars (every doc takes the general
     sliding-window path, m = len-23 > w). The oracle's packed windowed-min
@@ -1443,8 +1446,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing + exact-extension long-overlap pairs over documents
-    (rows-only; guarantee property tested in tests/test_suffix.py)."""
+    """Winnowing + exact-extension long-overlap pairs over documents,
+    oracle-exact (promoted r4 — was rows-only): the DuckDB oracle composes
+    the proven winnow_fps fingerprint SQL with the full candidate/verify
+    semantics — per-fp distinct-doc count in [2, hot_cap], position self-
+    join, per-(pair, delta) / per-pair three-seed selection (boundary min /
+    boundary max / dominant-alignment, reproduced with packed-integer
+    lexicographic keys and arg_max), and the greedy byte extension around
+    each 24-byte seed via a generate_series first-mismatch scan. Scope:
+    ASCII-printable docs (bytes == chars in both engines) of >= 96 chars —
+    shorter docs cannot reach min_overlap_chars=96, but scoping must be
+    applied IDENTICALLY on both sides because it shifts per-fp doc counts
+    at the hot-cap boundary. Ref analog: reference has no substring stage;
+    the algorithm is Schleimer/Wilkerson/Aiken SIGMOD'03 winnowing."""
     from lsh_cascade_poc_spark.operators.suffix import (
         overlap_candidates,
         verify_overlaps,
@@ -1453,6 +1467,8 @@ def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_normalized(spark, sf_dir).select(
         "doc_id", F.col("norm_text").alias("doc_text")
+    ).filter(
+        F.col("doc_text").rlike("^[ -~]*$") & (F.length("doc_text") >= 96)
     )
     fps = winnow_fingerprints(docs, k=24, w=32)
     cands = overlap_candidates(fps)
@@ -1911,10 +1927,11 @@ def q_media_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness check covers the FIRST 50
     # entries only (observed r3: entries 51-53 got no CORRECTNESS row at
-    # all). Every oracle-backed query therefore sits in positions 1-50;
-    # the rows-only entries (overlap_pairs, e2lsh_pairs, media_dedup —
-    # float32/recall-probabilistic kernels, pytest-parity-gated) sit last
-    # and are the only ones sacrificed if the registry outgrows the window.
+    # all). Positions 1-50 hold hash-exact-oracle queries; the tail holds
+    # overlap_pairs (hash-exact oracle TOO since r4, but enforced via
+    # tools/oracle_check.py + tests/test_prod_oracle.py because the window
+    # is full) and the two genuinely rows-only float32 kernels
+    # (e2lsh_pairs, media_dedup — pytest-parity-gated).
     return {
         "normalize_docs": q_normalize_docs,
         "assemble_events": q_assemble_events,
@@ -2435,6 +2452,129 @@ def oracle_sql() -> dict[str, str]:
                   - 9223372036854775808::HUGEINT AS BIGINT) AS fp,
              CAST(1048576 - (mkey % 2097152::HUGEINT) AS INT) AS pos
       FROM wins WHERE wstart <= m - 32
+    """
+
+    # overlap_pairs (promoted r4): the winnow_fps fingerprint CTEs (>= 96
+    # scope) + the candidate/verify semantics of operators/suffix.py.
+    # Lexicographic (pos_a, pos_b) structs are packed as pos_a * 2^21 +
+    # pos_b (positions <= 2024 by the 2048-char norm_text truncation);
+    # seed3's max_by(dmin, (dn, -delta)) becomes arg_max over
+    # dn * 2^22 + (2^21 - delta), collision-free because the delta offset
+    # spans < 2^22 and delta is unique per (pair, delta) group. The greedy
+    # byte extension around each 24-byte seed is a first-mismatch scan over
+    # generate_series (ASCII scope: bytes == chars in both engines).
+    sql["overlap_pairs"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      docs AS (
+        SELECT doc_id, norm_text AS t FROM norm
+        WHERE regexp_full_match(norm_text, '[ -~]*') AND length(norm_text) >= 96
+      ),
+      grams AS (
+        SELECT doc_id, gs.i - 1 AS pos,
+               list_reduce(
+                 list_transform(generate_series(gs.i, gs.i + 23),
+                   j -> CAST(ascii(substr(t, CAST(j AS INT), 1)) AS HUGEINT)),
+                 (acc, v) -> (acc * 1000003 + v)
+                             % 18446744073709551616::HUGEINT
+               ) AS hu
+        FROM docs, unnest(generate_series(1, length(t) - 23)) gs(i)
+      ),
+      keyed AS (
+        SELECT doc_id, pos,
+               ((hu + 9223372036854775808::HUGEINT)
+                % 18446744073709551616::HUGEINT) * 2097152::HUGEINT
+               + (1048576 - pos) AS key
+        FROM grams
+      ),
+      wins AS (
+        SELECT doc_id, pos AS wstart,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+                 AS mkey,
+               count(*) OVER (PARTITION BY doc_id) AS m
+        FROM keyed
+      ),
+      fps AS (
+        SELECT DISTINCT doc_id,
+               CAST(mkey // 2097152::HUGEINT
+                    - 9223372036854775808::HUGEINT AS BIGINT) AS fp,
+               CAST(1048576 - (mkey % 2097152::HUGEINT) AS INT) AS pos
+        FROM wins WHERE wstart <= m - 32
+      ),
+      shared AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 200
+      ),
+      cold AS (SELECT f.doc_id, f.fp, f.pos FROM fps f JOIN shared USING (fp)),
+      joined AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      ),
+      by_delta AS (
+        SELECT id_a, id_b, pos_a - pos_b AS delta,
+               min(pos_a * 2097152 + pos_b) AS dmin,
+               max(pos_a * 2097152 + pos_b) AS dmax,
+               count(*) AS dn
+        FROM joined GROUP BY id_a, id_b, delta
+      ),
+      seed3 AS (
+        SELECT id_a, id_b,
+               min(dmin) AS s1, max(dmax) AS s2,
+               arg_max(dmin, dn * 4194304 + (2097152 - delta)) AS s3
+        FROM by_delta GROUP BY id_a, id_b
+      ),
+      seedrows AS (
+        SELECT DISTINCT id_a, id_b, unnest([s1, s2, s3]) AS packed
+        FROM seed3
+      ),
+      sided AS (
+        SELECT sr.id_a, sr.id_b,
+               CAST(packed // 2097152 AS INT) AS pa,
+               CAST(packed % 2097152 AS INT) AS pb,
+               da.t AS ta, db.t AS tb
+        FROM seedrows sr
+        JOIN docs da ON da.doc_id = sr.id_a
+        JOIN docs db ON db.doc_id = sr.id_b
+      ),
+      anch AS (
+        SELECT id_a, id_b, pa, pb,
+               substr(ta, pa + 1, 24) = substr(tb, pb + 1, 24) AS ok,
+               substr(ta, pa + 25) AS fa, substr(tb, pb + 25) AS fb,
+               reverse(substr(ta, 1, pa)) AS ra,
+               reverse(substr(tb, 1, pb)) AS rb
+        FROM sided
+      ),
+      fwd AS (
+        SELECT id_a, id_b, pa, pb, lf,
+               coalesce(min(CASE WHEN g.i > lf
+                                   OR substr(fa, g.i, 1) <> substr(fb, g.i, 1)
+                                 THEN g.i END) - 1, lf) AS cpf
+        FROM (SELECT *, least(length(fa), length(fb)) AS lf FROM anch),
+             unnest(generate_series(1, greatest(lf, 1))) g(i)
+        GROUP BY id_a, id_b, pa, pb, lf
+      ),
+      bwd AS (
+        SELECT id_a, id_b, pa, pb, lb,
+               coalesce(min(CASE WHEN g.i > lb
+                                   OR substr(ra, g.i, 1) <> substr(rb, g.i, 1)
+                                 THEN g.i END) - 1, lb) AS cpb
+        FROM (SELECT *, least(length(ra), length(rb)) AS lb FROM anch),
+             unnest(generate_series(1, greatest(lb, 1))) g(i)
+        GROUP BY id_a, id_b, pa, pb, lb
+      ),
+      lens AS (
+        SELECT a.id_a, a.id_b,
+               CASE WHEN a.ok THEN 24 + f.cpf + b.cpb ELSE 0 END AS olen
+        FROM anch a
+        JOIN fwd f ON f.id_a = a.id_a AND f.id_b = a.id_b
+                  AND f.pa = a.pa AND f.pb = a.pb
+        JOIN bwd b ON b.id_a = a.id_a AND b.id_b = a.id_b
+                  AND b.pa = a.pa AND b.pb = a.pb
+      )
+      SELECT id_a, id_b, CAST(max(olen) AS INT) AS overlap_chars
+      FROM lens GROUP BY id_a, id_b
+      HAVING max(olen) >= 96
     """
 
     # Production shingle kernel (signature_udf.hash_tokens +

@@ -198,3 +198,26 @@ def test_dedup_pairs_duckdb_oracle_sf0001(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+def test_overlap_pairs_duckdb_oracle_sf0001(spark):
+    """The overlap_pairs oracle (promoted r4) pinned at a SECOND scale
+    factor beyond the driver's sf0.01 gate: winnow fingerprints, the
+    [2, hot_cap] shared-fp filter, the three-seed selection (boundary
+    min/max + dominant alignment) and the greedy byte extension must all
+    agree or the pair set / overlap lengths drift."""
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (r.id_a, r.id_b, r.overlap_chars)
+        for r in entry.queries()["overlap_pairs"](spark, SF001).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{SF001}/documents.parquet')"
+    )
+    want = sorted(con.execute(entry.oracle_sql()["overlap_pairs"]).fetchall())
+    assert got == want
+    assert len(got) > 0

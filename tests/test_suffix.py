@@ -172,3 +172,59 @@ def test_true_overlap_flanked_by_boilerplate_seeds(spark):
     found = verify_overlaps(cands, docs, k=24, min_overlap_chars=200).collect()
     assert [(x.id_a, x.id_b) for x in found] == [(r.id_a, r.id_b)]
     assert found[0].overlap_chars >= len(ovl) - 2
+
+
+def test_pair_seed_agg_matches_python_model(spark):
+    """Property: _pair_seed_agg == a pure-Python model on randomized joined
+    position tables — pins the three-seed semantics (lexicographic boundary
+    min/max, dominant-alignment pick with (count, -delta) ordering and
+    deterministic tie-breaks, n_shared_fps sum) against drift."""
+    import random
+
+    from lsh_cascade_poc_spark.operators.suffix import _pair_seed_agg
+
+    rng = random.Random(20260818)
+    rows = []
+    for _ in range(400):
+        id_a, id_b = sorted(rng.sample(range(1, 9), 2))
+        pos_b = rng.randrange(0, 50)
+        # cluster deltas into a few values so dominant groups + ties occur
+        delta = rng.choice([-7, -7, 3, 3, 3, 11])
+        rows.append((id_a, id_b, pos_b + delta + 7, pos_b))  # pos_a >= 0
+
+    def model(rws):
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for ia, ib, pa, pb in rws:
+            groups[(ia, ib, pa - pb)].append((pa, pb))
+        out = {}
+        for (ia, ib, d), ps in groups.items():
+            pair = out.setdefault((ia, ib), {"deltas": {}})
+            pair["deltas"][d] = (min(ps), max(ps), len(ps))
+        res = {}
+        for (ia, ib), pr in out.items():
+            dmins = [v[0] for v in pr["deltas"].values()]
+            dmaxs = [v[1] for v in pr["deltas"].values()]
+            # max_by(dmin, (dn, -delta)): max count, ties -> smallest delta
+            s3 = max(pr["deltas"].items(), key=lambda kv: (kv[1][2], -kv[0]))[1][0]
+            res[(ia, ib)] = (
+                min(dmins), max(dmaxs), s3,
+                sum(v[2] for v in pr["deltas"].values()),
+            )
+        return res
+
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, pos_a int, pos_b int"
+    )
+    got = {
+        (r.id_a, r.id_b): (
+            (r.pos_a, r.pos_b), (r.pos_a2, r.pos_b2),
+            (r.pos_a3, r.pos_b3), r.n_shared_fps,
+        )
+        for r in _pair_seed_agg(df).collect()
+    }
+    want = model(rows)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])

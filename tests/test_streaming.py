@@ -380,3 +380,39 @@ def test_docs_root_is_global_across_batches(spark, tmp_path):
     assert len(roots) == 1, f"expected one global root, got {roots}"
     ids = {r.conv_id: r.doc_id for r in rows}
     assert roots == {ids["c0"]} or roots == {ids["c1"]}  # batch-0 rep
+
+
+def test_streaming_overlap_flanked_by_boilerplate(spark, tmp_path):
+    """The r3 ADVICE drop scenario, cross-batch: a true >=200-char overlap
+    whose doc pair also shares boilerplate before AND after it, with the
+    docs arriving in DIFFERENT micro-batches — so the probe-path seed
+    selection (overlap_candidates_probe -> _pair_seed_agg) must produce
+    the alignment-dominant third seed, not just the boilerplate-landing
+    boundary seeds. Pins the streaming path of the seed3 fix (the batch
+    path is pinned by test_suffix.test_true_overlap_flanked_by_boilerplate
+    _seeds)."""
+    bo1 = ("please review our terms of service and privacy policy before "
+           "continuing to use this product today and tomorrow morning")
+    bo2 = ("this transcript was generated automatically and may contain "
+           "transcription errors in various places throughout the text")
+    ovl = "the actual duplicated conversation body passage segment " * 6
+    assert len(ovl) >= 200
+    doc_a = (bo1 + " unique filler alpha for document one " + ovl
+             + " closing filler beta for document one " + bo2)
+    doc_b = (bo2 + " different filler gamma for document two " + ovl
+             + " very different tail delta for doc two " + bo1)
+
+    inc = IncrementalDedup(spark, str(tmp_path / "index"), CFG)
+    inc.process_batch(
+        spark.createDataFrame(_mk_turns([("convA", doc_a)]), TURNS_DDL), 0
+    )
+    inc.process_batch(
+        spark.createDataFrame(_mk_turns([("convB", doc_b)]), TURNS_DDL), 1
+    )
+
+    id_map = {r.conv_id: r.doc_id
+              for r in inc.docs().select("conv_id", "doc_id").collect()}
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in inc.dup_pairs().collect()}
+    want = tuple(sorted((id_map["convA"], id_map["convB"])))
+    assert want in pairs, f"flanked cross-batch overlap missing, got {pairs}"
+    assert pairs[want] == -1.0

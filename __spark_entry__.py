@@ -2416,60 +2416,11 @@ def oracle_sql() -> dict[str, str]:
     # np.int64) values) onto unsigned HUGEINT order; tie -> larger pos
     # (rightmost). Mirrors operators/suffix.py _kgram_hashes_flat (base
     # 1000003, k=24) + _winnow (w=32) exactly.
-    sql["winnow_fps"] = f"""
-      WITH norm AS ({_DUCK_DOCS_NORM}),
-      docs AS (
-        SELECT doc_id, norm_text AS t FROM norm
-        WHERE regexp_full_match(norm_text, '[ -~]*') AND length(norm_text) >= 56
-      ),
-      grams AS (
-        SELECT doc_id, gs.i - 1 AS pos,
-               list_reduce(
-                 list_transform(generate_series(gs.i, gs.i + 23),
-                   j -> CAST(ascii(substr(t, CAST(j AS INT), 1)) AS HUGEINT)),
-                 (acc, v) -> (acc * 1000003 + v)
-                             % 18446744073709551616::HUGEINT
-               ) AS hu
-        FROM docs, unnest(generate_series(1, length(t) - 23)) gs(i)
-      ),
-      keyed AS (
-        SELECT doc_id, pos,
-               ((hu + 9223372036854775808::HUGEINT)
-                % 18446744073709551616::HUGEINT) * 2097152::HUGEINT
-               + (1048576 - pos) AS key
-        FROM grams
-      ),
-      wins AS (
-        SELECT doc_id, pos AS wstart,
-               min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                              ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
-                 AS mkey,
-               count(*) OVER (PARTITION BY doc_id) AS m
-        FROM keyed
-      )
-      SELECT DISTINCT doc_id,
-             CAST(mkey // 2097152::HUGEINT
-                  - 9223372036854775808::HUGEINT AS BIGINT) AS fp,
-             CAST(1048576 - (mkey % 2097152::HUGEINT) AS INT) AS pos
-      FROM wins WHERE wstart <= m - 32
-    """
-
-    # overlap_pairs (promoted r4): the winnow_fps fingerprint CTEs (>= 96
-    # scope) + the candidate/verify semantics of operators/suffix.py.
-    # Lexicographic (pos_a, pos_b) structs are packed as pos_a * 2^21 +
-    # pos_b (positions <= 2024 by the 2048-char norm_text truncation);
-    # seed3's max_by(dmin, (dn, -delta)) becomes arg_max over
-    # dn * 2^22 + (2^21 - delta), collision-free because the delta offset
-    # spans < 2^22 and delta is unique per (pair, delta) group. The greedy
-    # byte extension around each 24-byte seed is a first-mismatch scan over
-    # generate_series (ASCII scope: bytes == chars in both engines).
-    sql["overlap_pairs"] = f"""
-      WITH norm AS ({_DUCK_DOCS_NORM}),
-      docs AS (
-        SELECT doc_id, norm_text AS t FROM norm
-        WHERE regexp_full_match(norm_text, '[ -~]*') AND length(norm_text) >= 96
-      ),
-      grams AS (
+    # The chain is ONE shared fragment (grams -> keyed -> wins -> fps),
+    # interpolated into both winnow_fps and overlap_pairs (which differ
+    # only in the prior `docs` CTE's length floor) so the fingerprint
+    # definition cannot drift between the two oracles.
+    _WINNOW_CTES = """grams AS (
         SELECT doc_id, gs.i - 1 AS pos,
                list_reduce(
                  list_transform(generate_series(gs.i, gs.i + 23),
@@ -2500,7 +2451,36 @@ def oracle_sql() -> dict[str, str]:
                     - 9223372036854775808::HUGEINT AS BIGINT) AS fp,
                CAST(1048576 - (mkey % 2097152::HUGEINT) AS INT) AS pos
         FROM wins WHERE wstart <= m - 32
+      )"""
+
+    sql["winnow_fps"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      docs AS (
+        SELECT doc_id, norm_text AS t FROM norm
+        WHERE regexp_full_match(norm_text, '[ -~]*') AND length(norm_text) >= 56
       ),
+      {_WINNOW_CTES}
+      SELECT doc_id, fp, pos FROM fps
+    """
+
+    # overlap_pairs (promoted r4): the winnow_fps fingerprint CTEs (>= 96
+    # scope) + the candidate/verify semantics of operators/suffix.py.
+    # Lexicographic (pos_a, pos_b) structs are packed as
+    # CAST(pos_a AS BIGINT) * 2^21 + pos_b (positions <= 2024 by the
+    # 2048-char norm_text truncation; the cast is load-bearing — DuckDB
+    # does not widen INT32 multiplication, and pos_a >= 1024 overflows);
+    # seed3's max_by(dmin, (dn, -delta)) becomes arg_max over
+    # dn * 2^22 + (2^21 - delta), collision-free because the delta offset
+    # spans < 2^22 and delta is unique per (pair, delta) group. The greedy
+    # byte extension around each 24-byte seed is a first-mismatch scan over
+    # generate_series (ASCII scope: bytes == chars in both engines).
+    sql["overlap_pairs"] = f"""
+      WITH norm AS ({_DUCK_DOCS_NORM}),
+      docs AS (
+        SELECT doc_id, norm_text AS t FROM norm
+        WHERE regexp_full_match(norm_text, '[ -~]*') AND length(norm_text) >= 96
+      ),
+      {_WINNOW_CTES},
       shared AS (
         SELECT fp FROM fps GROUP BY fp
         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 200
@@ -2513,8 +2493,8 @@ def oracle_sql() -> dict[str, str]:
       ),
       by_delta AS (
         SELECT id_a, id_b, pos_a - pos_b AS delta,
-               min(pos_a * 2097152 + pos_b) AS dmin,
-               max(pos_a * 2097152 + pos_b) AS dmax,
+               min(CAST(pos_a AS BIGINT) * 2097152 + pos_b) AS dmin,
+               max(CAST(pos_a AS BIGINT) * 2097152 + pos_b) AS dmax,
                count(*) AS dn
         FROM joined GROUP BY id_a, id_b, delta
       ),

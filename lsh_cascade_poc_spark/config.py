@@ -73,10 +73,14 @@ class DedupConfig:
     # overlap of >= 2*(window+k-1) = 174 chars < min_overlap_chars is
     # guaranteed to SURVIVE CANDIDATE GENERATION (each disjoint half
     # guarantees one shared fp). The determinism claim is scoped to the
-    # candidate stage: verify_overlaps extends from the min- and max-position
-    # shared seeds, and in principle both could be accidental >=k-char
-    # collisions OUTSIDE the true overlap region, dropping a true pair at
-    # verify — two seeds make that improbable, not impossible (ADVICE r3).
+    # candidate stage: verify_overlaps extends from three seeds — the min-
+    # and max-position shared seeds plus one from the dominant
+    # pos_a - pos_b alignment group (suffix.py _pair_seed_agg). A true
+    # overlap's fps all share one delta, so the third seed lands inside it
+    # unless some accidental alignment strictly outnumbers the true one
+    # AND both boundary seeds are accidental (closes the ADVICE r3
+    # two-seed residual; still probabilistic in principle, vanishing in
+    # practice).
     # Sized to the 200-char report threshold, NOT tighter: fingerprint
     # density is ~2/(window+1) per char, and the fp table feeds a self-join
     # — at window=32 (the old value, guarantee floor 55 chars) the bench

@@ -442,8 +442,9 @@ def overlap_candidates_probe(
     index" shape (new x indexed plus new x new, never indexed x indexed,
     whose pairs earlier batches already emitted). Same shared-fp gate
     (2..hot_cap distinct docs — singletons can never pair, hotter keys are
-    boilerplate) and the same two-seed/min-shared aggregation as the batch
-    operator, so batch and streaming candidates agree on a shared corpus.
+    boilerplate) and the same three-seed/min-shared aggregation
+    (_pair_seed_agg) as the batch operator, so batch and streaming
+    candidates agree on a shared corpus.
     The new-side flag rides the exploded rows from union time — no extra
     join to mark sides."""
     comb = idx_fps.select("doc_id", "fp", "pos").withColumn(

@@ -180,9 +180,13 @@ def overlap_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     Docs shorter than min_overlap_chars BYTES (the kernel and verifier
     measure UTF-8 bytes) cannot appear in any reportable pair — a shared
     substring of length L requires both docs >= L — so they are gated out
-    before the fingerprint kernel: an EXACT prefilter (zero recall loss)
-    that shrinks the kernel input, the fp table and the self-join, all
-    narrow filters over the already-materialized docs checkpoint."""
+    before the fingerprint kernel, shrinking the kernel input, the fp
+    table and the self-join (narrow filters over the already-materialized
+    docs checkpoint). Zero loss FOR THE EXCLUDED DOCS is exact; for the
+    surviving corpus the gate shifts per-fp doc counts, so a fingerprint
+    straddling the hot-cap boundary can change sides and perturb seed
+    selection for surviving pairs — a hot-cap heuristic sensitivity the
+    cap always had, not a property of this gate."""
     docs = docs.filter(
         F.octet_length(F.col("doc_text")) >= cfg.min_overlap_chars
     )

@@ -15,10 +15,13 @@ Ground truth is split by the pipeline's CONTRACT:
   rejections by the decision rule (the reference applies the identical
   threshold), not recall misses: they are excluded from the denominator and
   reported separately as ``evidenced``.
-* **substring pairs** — share one long turn, not most of the text:
-  detectable only as overlap EVIDENCE (dup_pairs rows with jaccard = -1) and
-  only when the shared turn is >= cfg.min_overlap_chars bytes. Reported as
-  ``substring_evidenced_rate``, never in the contract denominator.
+* **substring pairs** — share one long turn, not most of the text: their
+  true Jaccard is normally far below the threshold, so they are detectable
+  only as overlap EVIDENCE (dup_pairs rows with jaccard = -1) and only when
+  the shared turn is >= cfg.min_overlap_chars bytes. Reported as
+  ``substring_evidenced_rate``. The contract split is by TRUE JACCARD, not
+  by kind: the rare substring plant whose kept turn dominates the text
+  (true_j >= threshold) counts in the contract denominator like any other.
 
 Recall criteria per planted pair:
 
@@ -153,9 +156,14 @@ def recall_report(res, cfg: DedupConfig) -> dict:
             "clustered": r.clustered,
             "evidenced": r.evidenced,
         }
-        if r.kind != "substring":  # substring is overlap-evidence by design
-            tot_c += r.contract
-            tot_hit += r.contract_hit
+        # EVERY kind contributes its in-contract pairs (true_j >= threshold)
+        # to the headline — including substring plants: usually their kept
+        # turn is a small fraction of the text (true_j far below threshold,
+        # contract = 0, overlap-evidence only), but a plant whose kept turn
+        # dominates the conversation is a contract pair like any other and
+        # must not be excused from the denominator by its kind label
+        tot_c += r.contract
+        tot_hit += r.contract_hit
     out["contract_pairs"] = tot_c
     out["contract_recall"] = round(tot_hit / tot_c, 6) if tot_c else None
     sub = out["per_kind"].get("substring")

@@ -248,6 +248,8 @@ def test_recall_report_module(spark_result):
         # every planted pair is in-contract and must be co-clustered
         assert pk[kind]["contract"] == pk[kind]["planted"]
         assert pk[kind]["clustered"] == pk[kind]["planted"]
-    # substring plants are overlap-evidence by design, never contract rows
+    # on this generator's corpora substring plants keep one turn of many,
+    # so their true Jaccard sits far below threshold: no contract rows
+    # (the metric itself splits by true Jaccard, not by kind)
     if "substring" in pk:
         assert pk["substring"]["contract"] == 0

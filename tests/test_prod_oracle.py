@@ -221,3 +221,62 @@ def test_overlap_pairs_duckdb_oracle_sf0001(spark):
     want = sorted(con.execute(entry.oracle_sql()["overlap_pairs"]).fetchall())
     assert got == want
     assert len(got) > 0
+
+
+def test_overlap_pairs_oracle_late_positions(spark, tmp_path):
+    """Regression: the oracle packs (pos_a, pos_b) as pos_a * 2^21 + pos_b;
+    without a BIGINT cast DuckDB's INT32 multiplication overflows for any
+    shared fingerprint at byte position >= 1024 (positions reach 2024 by
+    the norm_text truncation). The driver test corpora happen to share all
+    their overlaps at early positions, so this synthesizes two ~1900-char
+    docs whose 300-char shared passage sits at the END — every shared
+    fingerprint lands past position 1500 on both sides."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(1024)
+
+    def filler(n_words, tag):
+        return " ".join(
+            f"{tag}{rng.randrange(10**6)}tok{i}" for i in range(n_words)
+        )
+
+    passage = ("the late position shared passage body text segment " * 6).strip()
+    assert len(passage) >= 200
+    # fillers sized so the passage STARTS past byte 1024 (the INT32
+    # overflow boundary) but ENDS inside the 2048-char norm truncation
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            filler(95, "alpha") + " " + passage,
+            filler(95, "beta") + " " + passage,
+            filler(160, "gamma"),
+        ],
+    })
+    for t in docs["text"][:2]:
+        start = t.index(passage[:50])
+        assert 1024 <= start and start + len(passage) <= 2048, start
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd_docs = spark.createDataFrame(docs)
+    pd_docs.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (r.id_a, r.id_b, r.overlap_chars)
+        for r in entry.queries()["overlap_pairs"](spark, str(sf)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(con.execute(entry.oracle_sql()["overlap_pairs"]).fetchall())
+    assert got == want
+    assert len(got) == 1 and got[0][:2] == (1, 2)
+    # the scenario is real: the shared fps sit past the INT32-overflow
+    # boundary (norm truncates at 2048, passage starts past byte 1500)
+    norm_a = " ".join(docs["text"][0].split())[:2048]
+    assert norm_a.index(passage[:50]) >= 1024

@@ -141,10 +141,12 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_DOCS_NORM = """
   SELECT doc_id,
-         substring(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, 2048) AS norm_text
+         substring(trim(regexp_replace(text, '[\\s\\x0B]+', ' ', 'g')), 1, 2048) AS norm_text
   FROM documents
-  WHERE length(substring(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, 2048)) >= 10
+  WHERE length(substring(trim(regexp_replace(text, '[\\s\\x0B]+', ' ', 'g')), 1, 2048)) >= 10
 """
+# ^ [\\s\\x0B]: RE2's \\s excludes vertical tab, Java's includes it — the
+# explicit class makes DuckDB normalize \\x0B exactly like the Spark side.
 
 _DUCK_DOCS_SHINGLED = f"""
   WITH norm AS ({_DUCK_DOCS_NORM}),
@@ -165,11 +167,14 @@ _SPARK_SIGNBIT = (
 )
 _DUCK_SIGNBIT = (
     # bit 63: DuckDB raises on 1<<63 (signed overflow) while Spark wraps to
-    # long-min — emit long-min explicitly so both agree bit-for-bit
+    # long-min — emit long-min explicitly so both agree bit-for-bit.
+    # Structured as WHEN x > 0.0 THEN bit ELSE 0 (not the <= inverse) so a
+    # NULL element falls to the 0 arm in BOTH engines, mirroring Spark's
+    # IF(x > 0.0F, bit, 0) exactly
     "list_reduce(list_transform(generate_series(0, 63),"
-    " i -> CASE WHEN embedding[i + 1] <= 0.0 THEN 0::BIGINT"
-    " WHEN i = 63 THEN (-9223372036854775807::BIGINT - 1)"
-    " ELSE (1::BIGINT << i) END), (x, y) -> x + y)"
+    " i -> CASE WHEN embedding[i + 1] > 0.0 THEN"
+    " (CASE WHEN i = 63 THEN (-9223372036854775807::BIGINT - 1)"
+    " ELSE (1::BIGINT << i) END) ELSE 0::BIGINT END), (x, y) -> x + y)"
 )
 
 
@@ -178,6 +183,12 @@ def _emb_dot(a: str, b: str) -> str:
     parity-critical double-arithmetic idiom every cosine query shares
     (DuckDB mirrors it with list_reduce; both engines fold left-to-right in
     DOUBLE and round(.., 6) the final ratio for bit-identical results).
+    LOAD-BEARING ASSUMPTION: every DuckDB mirror hardcodes
+    generate_series(1, 64) while the Spark side folds the arrays' actual
+    length — the embeddings table must be exactly 64-dim (the testdata
+    contract; pinned by tests/test_prod_oracle.py's dimension test). On a
+    different-dim corpus the oracles would read NULL past the array end
+    and silently drop/miscount rows instead of failing loudly.
     Operand names are caller-side ("a.embedding", "qe", ...); `{0}`-style
     placeholders pass through for later .format substitution."""
     return (
@@ -400,7 +411,15 @@ def q_mixed_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data quality heuristics — exact int ratios rounded."""
+    """Training-data quality heuristics — exact int ratios rounded.
+
+    Known cross-engine edge (here and q_langid): Spark lower() applies
+    Java's full Unicode case mapping while DuckDB's applies utf8proc simple
+    mapping, so a handful of characters (e.g. U+0130 dotted capital I,
+    which full-maps to 'i' + combining dot) would lowercase differently
+    and shift stopword/marker matches. No corpus in the gate contains
+    them; flagged rather than scoped because ASCII-scoping would gut the
+    language-distribution purpose of these queries."""
     docs = _docs_normalized(spark, sf_dir)
     toks = F.split("norm_text", " ")
     stop = F.array(*[F.lit(w) for w in ["the", "a", "and", "of", "to", "is", "in"]])
@@ -507,7 +526,9 @@ def q_pivot_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token budgeting via GPT-2-style pre-tokenization regex —
-    the training-pipeline token counter; RE2/Java regex agree on the classes."""
+    the training-pipeline token counter. Cross-engine note: Java's \\s
+    includes vertical tab, RE2's does not, so the DuckDB oracle spells the
+    class as [\\s\\x0B] explicitly; the other classes agree."""
     pattern = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -2003,7 +2024,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["assemble_events"] = """
       SELECT user_id,
-             string_agg(event_type, ' ' ORDER BY ts, event_id) AS conv_text,
+             string_agg(event_type, ' '
+                        ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+               AS conv_text,
              count(*) AS n_turns,
              min(ts) AS first_ts,
              max(ts) AS last_ts
@@ -2168,7 +2191,7 @@ def oracle_sql() -> dict[str, str]:
     sql["token_stats"] = """
       WITH t AS (
         SELECT lang,
-               len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS nt
+               len(string_split(trim(regexp_replace(text, '[\\s\\x0B]+', ' ', 'g')), ' ')) AS nt
         FROM documents
       )
       SELECT lang, count(*) AS n_docs,
@@ -2613,8 +2636,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE regexp_full_match(norm_text, '[ -~]*')
       ),
       toks AS (
+        -- trailing <> '' guard: the 2048-char truncation can land on a
+        -- space, leaving a trailing '' that python str.split() (the
+        -- production tokenizer) never emits; interior empties are
+        -- impossible (whitespace is collapsed before truncation)
         SELECT doc_id, u.i AS tok_idx, string_split(t, ' ')[u.i] AS tok
         FROM docs, unnest(generate_series(1, len(string_split(t, ' ')))) u(i)
+        WHERE string_split(t, ' ')[u.i] <> ''
       ),
       {",".join(_tok_ctes)},
       per_doc AS (
@@ -2707,8 +2735,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE regexp_full_match(norm_text, '[ -~]*')
       ),
       toks AS (
+        -- trailing <> '' guard: the 2048-char truncation can land on a
+        -- space, leaving a trailing '' that python str.split() (the
+        -- production tokenizer) never emits; interior empties are
+        -- impossible (whitespace is collapsed before truncation)
         SELECT doc_id, u.i AS tok_idx, string_split(t, ' ')[u.i] AS tok
         FROM docs, unnest(generate_series(1, len(string_split(t, ' ')))) u(i)
+        WHERE string_split(t, ' ')[u.i] <> ''
       ),
       {",".join(_tok_ctes)},
       per_doc AS (
@@ -2833,7 +2866,7 @@ def oracle_sql() -> dict[str, str]:
 
     _dedup_prefix = f"""
       tnorm AS (
-        SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+        SELECT doc_id, trim(regexp_replace(text, '[\\s\\x0B]+', ' ', 'g')) AS nt
         FROM documents
       ),
       tdocs AS (
@@ -3014,7 +3047,7 @@ def oracle_sql() -> dict[str, str]:
       WITH {",".join(_hl_ctes)},
       hashed AS (
         SELECT doc_id,
-               (({_to_s('h')} % 1000) + 1000) % 1000 AS bucket
+               COALESCE((({_to_s('h')} % 1000) + 1000) % 1000, 42) AS bucket  -- xxhash64(NULL) = seed 42 in Spark; the CTE chain yields NULL
         FROM h{len(_hl_steps)}
       )
       SELECT doc_id, bucket,
@@ -3028,7 +3061,7 @@ def oracle_sql() -> dict[str, str]:
       WITH {",".join(_hl_ctes)},
       hashed AS (
         SELECT doc_id,
-               (({_to_s('h')} % 1000) + 1000) % 1000 AS bucket
+               COALESCE((({_to_s('h')} % 1000) + 1000) % 1000, 42) AS bucket  -- xxhash64(NULL) = seed 42 in Spark; the CTE chain yields NULL
         FROM h{len(_hl_steps)}
       ),
       sh AS ({_DUCK_DOCS_SHINGLED}),
@@ -3053,7 +3086,7 @@ def oracle_sql() -> dict[str, str]:
       WITH {",".join(_hl_ctes)},
       hashed AS (
         SELECT doc_id,
-               (({_to_s('h')} % 1000) + 1000) % 1000 AS bucket
+               COALESCE((({_to_s('h')} % 1000) + 1000) % 1000, 42) AS bucket  -- xxhash64(NULL) = seed 42 in Spark; the CTE chain yields NULL
       FROM h{len(_hl_steps)}
       ),
       gated AS (
@@ -3134,9 +3167,12 @@ def oracle_sql() -> dict[str, str]:
       contrib AS (
         SELECT t.doc_id,
                CAST(round(
-                 round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
-                 * round((t.tf * 2.2)
-                         / (t.tf + 1.2 * (0.25 + 0.75 * (t.dl / s.avgdl))), 6)
+                 round(ln(1.0 + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                                / (d.df + CAST(0.5 AS DOUBLE))), 6)
+                 * round((t.tf * CAST(2.2 AS DOUBLE))
+                         / (t.tf + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + CAST(0.75 AS DOUBLE) * (t.dl / s.avgdl))), 6)
                  * 1000000.0) AS BIGINT) AS c
         FROM tf t JOIN dfreq d ON t.token = d.token CROSS JOIN stats s
       ),
@@ -3198,10 +3234,13 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY ROLLUP (o_orderpriority, l_returnflag)
     """
 
+    # \s spelled as [\s\x0B] / [^\s\x0B...]: RE2's \s excludes vertical tab
+    # while Java's includes it — the explicit class keeps both engines
+    # tokenizing \x0B identically
     sql["token_count_bpe"] = r"""
       SELECT doc_id,
              len(regexp_extract_all(text,
-                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\x0B\p{L}\p{N}]+|[\s\x0B]+'))
                AS n_bpe_tokens,
              length(text) AS n_chars_raw
       FROM documents

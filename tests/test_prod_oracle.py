@@ -280,3 +280,24 @@ def test_overlap_pairs_oracle_late_positions(spark, tmp_path):
     # boundary (norm truncates at 2048, passage starts past byte 1500)
     norm_a = " ".join(docs["text"][0].split())[:2048]
     assert norm_a.index(passage[:50]) >= 1024
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/testdata"), reason="no testdata")
+def test_embeddings_are_64_dim_everywhere():
+    """Every DuckDB cosine/dot oracle hardcodes generate_series(1, 64)
+    while the Spark side folds the arrays' actual length (__spark_entry__
+    _emb_dot docstring). That is only parity-safe because the embeddings
+    table is exactly 64-dim at every scale factor — pin it so a testdata
+    contract change fails HERE instead of silently desyncing the cosine
+    oracles (they would read NULL past the array end and drop rows)."""
+    import glob
+
+    con = duckdb.connect()
+    sfs = sorted(glob.glob("/root/testdata/sf*/embeddings.parquet"))
+    assert sfs, "no embeddings tables found"
+    for path in sfs:
+        lo, hi = con.execute(
+            f"SELECT min(len(embedding)), max(len(embedding))"
+            f" FROM read_parquet('{path}')"
+        ).fetchone()
+        assert (lo, hi) == (64, 64), (path, lo, hi)

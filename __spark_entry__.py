@@ -1367,14 +1367,15 @@ def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_NORM).rlike("^[ -~]*$")
     )
     toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    _t = _TURN_TOKENS
     turns = docs.select(
         F.concat(F.lit("doc"), F.col("doc_id")).alias("conv_id"),
         F.posexplode(
             F.expr(
                 "transform(sequence(0, CAST(ceil(size(split(trim(regexp_replace(text,"
-                " '\\\\s+', ' ')), ' ')) / 20.0) AS INT) - 1),"
+                f" '\\\\s+', ' ')), ' ')) / {float(_t)!r}) AS INT) - 1),"
                 " w -> concat_ws(' ', slice(split(trim(regexp_replace(text, '\\\\s+', ' ')),"
-                " ' '), w * 20 + 1, 20)))"
+                f" ' '), w * {_t} + 1, {_t})))"
             )
         ).alias("turn_idx", "text"),
     )
@@ -1387,6 +1388,11 @@ def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
     )
 
+
+# tokens per assembled turn window in _transcripts_from_documents — shared
+# with the dedup oracle SQL's tturns CTE (both sides MUST derive from this
+# one constant or the assembly step desyncs the whole dedup hash gate)
+_TURN_TOKENS = 20
 
 _DEDUP_Q_CFG = dict(n_perm=64, coarse_n_bands=8, coarse_rows_per_band=4,
                     tight_n_bands=10, tight_rows_per_band=6,
@@ -1513,9 +1519,7 @@ def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _read(spark, sf_dir, "embeddings")
-    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
-    x = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
-    w, c = _itq16_fold_model(x)
+    w, c = _itq16_fold_model(_itq_fit_matrix(emb))
     bits = []
     for j in range(16):
         lits = ", ".join(f"{v:.6f}D" for v in w[:, j])
@@ -1569,6 +1573,28 @@ def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# driver-side ITQ fit sample bound: fit_itq_on_dataframe's default
+# sample_rows, in deterministic vec_id order — the production fit's sample
+# semantics, and a BOUNDED driver collect at any corpus size (ADVICE r4:
+# the previous full-table toPandas diverged from the production fit above
+# 10k vectors and made driver memory unbounded in corpus size). The oracle
+# builder truncates its parquet read with the same constant, so the two
+# engines keep fitting on the identical matrix.
+_ITQ_FIT_SAMPLE_ROWS = 10_000
+
+
+def _itq_fit_matrix(emb):
+    """Bounded deterministic fit matrix: first _ITQ_FIT_SAMPLE_ROWS rows in
+    vec_id order (fit_itq_on_dataframe(order_col='vec_id') semantics)."""
+    import numpy as np
+
+    pdf = (
+        emb.select("vec_id", "embedding").orderBy("vec_id")
+        .limit(_ITQ_FIT_SAMPLE_ROWS).toPandas()
+    )
+    return np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
+
+
 def _itq64_fold_model(x):
     """_itq16_fold_model at the PRODUCTION bit width (64 bits, n_iter=25 —
     the same deterministic driver-side itq_fit the production
@@ -1607,12 +1633,8 @@ def q_itq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_itq_transform treatment at 4x the width; ref transform
     src/itq_lsh.py:130-161). The production Arrow UDF (make_itq_udf) stays
     pytest-parity-gated against numpy (tests/test_embedding.py)."""
-    import numpy as np
-
     emb = _read(spark, sf_dir, "embeddings")
-    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
-    x = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
-    w, c = _itq64_fold_model(x)
+    w, c = _itq64_fold_model(_itq_fit_matrix(emb))
     bits = []
     for j in (63, *range(63)):  # long-min term first: see _itq64_bit_term
         lits = ", ".join(f"{v:.6f}D" for v in w[:, j])
@@ -1627,27 +1649,38 @@ def q_itq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_e2lsh_pairs kernel config (shared with its oracle builder)
+_E2LSH_PAIRS_CFG = dict(k=4, n_tables=6, w=2.0, seed=42)
+
+
 def q_e2lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H12/F3: E2LSH bucket hashing + all-pairs bucket join. PERMANENTLY
-    rows-only (VERDICT r3 #7): the production kernel floors float32
-    (a.x + b) / w projections, and float32 dot-accumulation order is not
-    reproducible in an engine that only folds in DOUBLE — a boundary
-    projection can floor differently, so the bucket ids genuinely cannot be
-    pinned cross-engine without changing the production dtype. The hash
-    DEFINITION is pinned instead by q_e2lsh_buckets/q_e2lsh_multiprobe
-    (literal-fold DOUBLE variant, hash-exact); this production path is
-    numpy-parity + collision-prob gated in tests/test_embedding.py."""
+    """H12/F3: E2LSH bucket hashing + all-pairs bucket join, hash-exact
+    (promoted r5, VERDICT r4 #4): the kernel is the fixed-point QUANTIZED
+    variant (embedding/e2lsh.py e2lsh_buckets_quantized_numpy — projections
+    on a 1e-6 grid in exact int64 arithmetic, same Arrow-UDF shape and same
+    explode/bucket-join path as the float32 kernel), so the bucket ids are
+    order-insensitive integers an SQL engine reproduces bit-exactly. The
+    float32 kernel (make_e2lsh_udf) remains the low-latency option and stays
+    numpy-parity + collision-prob gated in tests/test_embedding.py; its
+    dot-accumulation order genuinely cannot be pinned cross-engine (the r3
+    declaration), which is exactly what the quantized grid removes. Oracle
+    joins on raw (table, bucket-tuple) equality; the Spark side joins on
+    xxhash64(table, tuple), identical up to 64-bit hash collisions
+    (~n^2/2^65, negligible at gate scale). Ref analog: E2LSHIndex.query
+    src/e2lsh.py:266-319 (candidate union over L tables)."""
     from lsh_cascade_poc_spark.embedding.e2lsh import (
         e2lsh_candidate_pairs,
         explode_e2lsh_buckets,
         make_e2lsh_params,
-        make_e2lsh_udf,
+        make_e2lsh_quantized_udf,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first().embedding)
-    params = make_e2lsh_params(dim, k=4, n_tables=6, w=2.0, seed=42)
-    buckets = emb.select("vec_id", make_e2lsh_udf(params)("embedding").alias("b"))
+    params = make_e2lsh_params(dim, **_E2LSH_PAIRS_CFG)
+    buckets = emb.select(
+        "vec_id", make_e2lsh_quantized_udf(params)("embedding").alias("b")
+    )
     return e2lsh_candidate_pairs(explode_e2lsh_buckets(buckets, "b"))
 
 
@@ -1756,9 +1789,7 @@ def q_itq_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = _read(spark, sf_dir, "embeddings")
-    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
-    x = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]])
-    w, c = _itq16_fold_model(x)
+    w, c = _itq16_fold_model(_itq_fit_matrix(emb))
     bits = []
     for j in range(16):
         lits = ", ".join(f"{v:.6f}D" for v in w[:, j])
@@ -1996,18 +2027,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "stratified_sample": q_stratified_sample,
         "ann_cascade_topk": q_ann_cascade_topk,
-        "itq_transform": q_itq_transform,
-        "e2lsh_buckets": q_e2lsh_buckets,
         "e2lsh_multiprobe": q_e2lsh_multiprobe,
         "ivf_topk": q_ivf_topk,
         "media_fingerprint_pairs": q_media_fingerprint_pairs,
         "itq_codes": q_itq_codes,
         "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
-        # --- rows-only tail (positions 51+, outside the driver's window) ---
-        "overlap_pairs": q_overlap_pairs,
+        # the two previously rows-only PRODUCTION kernels, promoted to
+        # hash-exact r5 (quantized E2LSH grid / sha256-nibble fake decode)
+        # and moved INSIDE the driver's 50-query window (ADVICE r4: the
+        # independent gate must see the production kernels, not only
+        # queries guaranteed to pass)
         "e2lsh_pairs": q_e2lsh_pairs,
         "media_dedup": q_media_dedup,
+        # --- tail (positions 51+, outside the driver's 50-entry window) ---
+        # ALL 53 queries are oracle-backed as of r5; the three out-of-window
+        # entries are each SUBSUMED by an in-window query or doubly pinned:
+        # itq_transform (16-bit variant of the in-window production-width
+        # itq_codes), e2lsh_buckets (q_e2lsh_multiprobe is literally built
+        # on it), overlap_pairs (own sf0.001 pytest pin since r4). All three
+        # are enforced by tools/oracle_check.py full runs and by
+        # tests/test_prod_oracle.py::test_tail_queries_* at sf0.001
+        # (VERDICT r4 #5 window-discipline record; also noted in SURVEY §2).
+        "itq_transform": q_itq_transform,
+        "e2lsh_buckets": q_e2lsh_buckets,
+        "overlap_pairs": q_overlap_pairs,
     }
 
 
@@ -2797,25 +2841,51 @@ def oracle_sql() -> dict[str, str]:
 
     # ---- full-cascade dedup oracle (q_dedup_pairs / q_dedup_clusters) ----
     # The flagship run_dedup composition end-to-end in SQL (VERDICT r3 #2/#3):
-    # transcript assembly (20-token windows, role prefixes, \n joins) -> md5
+    # transcript assembly (token windows, role prefixes, \n joins) -> md5
     # exact-group collapse (min-conv_id representatives) -> the production
     # signature kernel (same _tok_ctes HUGEINT chain + shingle fold) ->
-    # 64-lane MinHash (make_perms(64, 42) literals) -> coarse 8x4 + tight
-    # 10x6 xxhash64 band tiers (same hashInt chain) -> SimHash majority-vote
-    # bits + 4x16 band join + Hamming <= 6 -> size-ratio and lane-agreement
-    # prunes -> exact Jaccard >= 0.7 -> canonical conv-keyed pairs; clusters
-    # add a recursive-CTE reachability pass. hot_band_cap (1000) cannot bind
-    # at oracle corpus sizes and is omitted (see q_dedup_pairs docstring).
-    _da, _db = make_perms(64, 42)  # q_dedup_pairs config: n_perm=64, seed 42
+    # MinHash lanes -> coarse + tight xxhash64 band tiers (same hashInt
+    # chain) -> SimHash majority-vote bits + band join + Hamming prune ->
+    # size-ratio and lane-agreement prunes -> exact Jaccard -> canonical
+    # conv-keyed pairs; clusters add a recursive-CTE reachability pass.
+    # EVERY tier/threshold constant below derives from _DEDUP_Q_CFG /
+    # DedupConfig at SQL-build time (ADVICE r4: a config drift must move the
+    # oracle with it, never silently desync the hash gate). hot_band_cap
+    # cannot bind at oracle corpus sizes and is omitted (q_dedup_pairs
+    # docstring); that scope precondition fails loudly per-corpus in
+    # tests/test_prod_oracle.py::test_dedup_band_occupancy_below_hot_cap.
+    import inspect as _inspect
+
+    from lsh_cascade_poc_spark.config import DEFAULT_CONFIG, DedupConfig
+    from lsh_cascade_poc_spark.operators.verify import (
+        verify_pairs_exact_jaccard as _vpej,
+    )
+
+    _dcfg = DedupConfig(**_DEDUP_Q_CFG)
+    # the tokenizer/shingle fragments (_tok_ctes, _shingle_fold) are shared
+    # with the prod_* oracles above, which are keyed to DEFAULT_CONFIG — the
+    # two configs must agree on them for the sharing to be sound
+    assert _dcfg.shingle_k == DEFAULT_CONFIG.shingle_k
+    assert _dcfg.minhash_seed == DEFAULT_CONFIG.minhash_seed
+    # tpairs encodes "shares >= 1 tight band" as DISTINCT pairs; a different
+    # tight_min_match would need a HAVING count(DISTINCT band_id)
+    assert _dcfg.tight_min_match == 1
+    # the SimHash SQL packs the bits into ONE BIGINT (bit 63 = sign bit)
+    assert _dcfg.simhash_bits == 64
+    # production verify prunes on lane-agreement >= threshold - margin; read
+    # the margin off the verify function's own default so an operators/
+    # verify.py change moves the oracle too
+    _dmargin = _inspect.signature(_vpej).parameters["estimate_margin"].default
+    _da, _db = make_perms(_dcfg.n_perm, _dcfg.minhash_seed)
     _dlane_cols = []
-    for _i in range(64):
+    for _i in range(_dcfg.n_perm):
         _dperm = f"({_mulmod(_xu, int(_da[_i]))} + {int(_db[_i])}::HUGEINT) % {_P64}"
         _dlow32 = f"(min({_dperm}) % {_P32})"
         _dlane_cols.append(
             f"CAST({_dlow32} - CASE WHEN {_dlow32} >= 2147483648::HUGEINT"
             f" THEN {_P32} ELSE 0::HUGEINT END AS INT) AS l{_i}"
         )
-    _dlv = "[" + ", ".join(f"l{_i}" for _i in range(64)) + "]"
+    _dlv = "[" + ", ".join(f"l{_i}" for _i in range(_dcfg.n_perm)) + "]"
 
     def _band_chain(prefix: str, tier: int, n_bands: int, rows: int):
         """Per-tier xxhash64(tier, band_id, lane-slice) chain; returns
@@ -2843,15 +2913,21 @@ def oracle_sql() -> dict[str, str]:
         )
         return ctes, f"{prefix}bands"
 
-    _cc_ctes, _cbands = _band_chain("c", 0, 8, 4)    # coarse tier
-    _tc_ctes, _tbands = _band_chain("g", 1, 10, 6)   # tight tier
+    _cc_ctes, _cbands = _band_chain(
+        "c", 0, _dcfg.coarse_n_bands, _dcfg.coarse_rows_per_band
+    )
+    _tc_ctes, _tbands = _band_chain(
+        "g", 1, _dcfg.tight_n_bands, _dcfg.tight_rows_per_band
+    )
 
     # SimHash: majority vote per bit over the doc's distinct shingle set
-    # (_simhash_flat semantics); bit 63 emitted as long-min and summed first
+    # (_simhash_flat semantics); the top bit emitted as long-min and summed
+    # first (simhash_bits == 64 asserted above: the pack target is BIGINT)
     _sim_terms = []
     _su = f"(CAST(s AS HUGEINT) + CASE WHEN s < 0 THEN {_P64} ELSE 0::HUGEINT END)"
-    for _b in (63, *range(63)):
-        _term = "(-9223372036854775807::BIGINT - 1)" if _b == 63 else str(1 << _b)
+    _top = _dcfg.simhash_bits - 1
+    for _b in (_top, *range(_top)):
+        _term = "(-9223372036854775807::BIGINT - 1)" if _b == _top else str(1 << _b)
         _sim_terms.append(
             f"(CASE WHEN 2 * len(list_filter(shingles,"
             f" s -> (({_su} // {1 << _b}::HUGEINT) % 2) = 1))"
@@ -2859,9 +2935,10 @@ def oracle_sql() -> dict[str, str]:
         )
     _sim_bands = " UNION ALL ".join(
         f"SELECT doc_id, sh64, {_i} AS band_id,"
-        f" CAST((su // {1 << (16 * _i)}::HUGEINT) % 65536 AS BIGINT) AS band_key"
+        f" CAST((su // {1 << (_dcfg.simhash_band_bits * _i)}::HUGEINT)"
+        f" % {1 << _dcfg.simhash_band_bits} AS BIGINT) AS band_key"
         f" FROM simu"
-        for _i in range(4)
+        for _i in range(_dcfg.simhash_bits // _dcfg.simhash_band_bits)
     )
 
     _dedup_prefix = f"""
@@ -2876,18 +2953,19 @@ def oracle_sql() -> dict[str, str]:
       tturns AS (
         SELECT doc_id, w.i AS widx,
                (CASE WHEN w.i % 2 = 0 THEN 'user: ' ELSE 'assistant: ' END)
-               || substring(array_to_string(tk[w.i * 20 + 1 : w.i * 20 + 20],
-                                            ' '), 1, 2048) AS turn_text
+               || substring(array_to_string(
+                    tk[w.i * {_TURN_TOKENS} + 1 : w.i * {_TURN_TOKENS} + {_TURN_TOKENS}],
+                    ' '), 1, {_dcfg.max_turn_chars}) AS turn_text
         FROM ttoks,
-             unnest(generate_series(0, CAST(ceil(len(tk) / 20.0) AS INT) - 1))
-               w(i)
+             unnest(generate_series(0,
+               CAST(ceil(len(tk) / {float(_TURN_TOKENS)!r}) AS INT) - 1)) w(i)
       ),
       adocs AS MATERIALIZED (
         SELECT conv_id, doc_text FROM (
           SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id,
                  string_agg(turn_text, chr(10) ORDER BY widx) AS doc_text
           FROM tturns GROUP BY doc_id
-        ) WHERE length(doc_text) >= 10
+        ) WHERE length(doc_text) >= {_dcfg.min_doc_chars}
       ),
       grp AS MATERIALIZED (
         SELECT md5(doc_text) AS fp, min(conv_id) AS repr_conv
@@ -2899,11 +2977,19 @@ def oracle_sql() -> dict[str, str]:
           ON md5(a.doc_text) = g.fp AND a.conv_id = g.repr_conv
       ),
       toks AS (
+        -- <> '' guard, same class as the prod_shingle tokenizer CTEs
+        -- (ADVICE r4): a turn whose max_turn_chars truncation ends ON a
+        -- space leaves a trailing space, so after replace(chr(10) -> ' ')
+        -- the doc carries a double space mid-doc (or a trailing one at the
+        -- end) and string_split emits '' tokens the production kernel's
+        -- python str.split() never does; tok_idx gaps are harmless (only
+        -- the ORDER BY matters)
         SELECT doc_id, u.i AS tok_idx,
                string_split(replace(doc_text, chr(10), ' '), ' ')[u.i] AS tok
         FROM gdocs,
              unnest(generate_series(1,
                len(string_split(replace(doc_text, chr(10), ' '), ' ')))) u(i)
+        WHERE string_split(replace(doc_text, chr(10), ' '), ' ')[u.i] <> ''
       ),
       {",".join(_tok_ctes)},
       per_doc AS (
@@ -2954,7 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         FROM simb a JOIN simb b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh64, b.sh64)) <= 6
+        WHERE bit_count(xor(a.sh64, b.sh64)) <= {_dcfg.simhash_hamming_tau}
       ),
       cand AS (
         SELECT id_a, id_b FROM mh_cand UNION SELECT id_a, id_b FROM sim_cand
@@ -2966,16 +3052,17 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = c.id_a
         JOIN sizes sb ON sb.doc_id = c.id_b
         WHERE CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
-              >= 0.7 * CAST(greatest(sa.n_sh, sb.n_sh) AS DOUBLE)
+              >= {_dcfg.jaccard_threshold!r} * CAST(greatest(sa.n_sh, sb.n_sh) AS DOUBLE)
       ),
       p2 AS (
         SELECT p1.id_a, p1.id_b, p1.n_a, p1.n_b
         FROM p1
         JOIN dlanes la ON la.doc_id = p1.id_a
         JOIN dlanes lb ON lb.doc_id = p1.id_b
-        WHERE CAST(list_sum(list_transform(generate_series(1, 64),
+        WHERE CAST(list_sum(list_transform(generate_series(1, {_dcfg.n_perm}),
                 i -> CASE WHEN la.lv[i] = lb.lv[i] THEN 1 ELSE 0 END))
-              AS DOUBLE) / 64.0 >= {0.7 - 0.1!r}
+              AS DOUBLE) / {float(_dcfg.n_perm)!r}
+              >= {_dcfg.jaccard_threshold - _dmargin!r}
       ),
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -2988,7 +3075,8 @@ def oracle_sql() -> dict[str, str]:
                / CAST(p2.n_a + p2.n_b - i.n_inter AS DOUBLE) AS jaccard
         FROM p2 JOIN inter i ON i.id_a = p2.id_a AND i.id_b = p2.id_b
         WHERE CAST(i.n_inter AS DOUBLE)
-              / CAST(p2.n_a + p2.n_b - i.n_inter AS DOUBLE) >= 0.7
+              / CAST(p2.n_a + p2.n_b - i.n_inter AS DOUBLE)
+              >= {_dcfg.jaccard_threshold!r}
       ),
       exact_edges AS (
         SELECT g.repr_conv AS conv_a, a.conv_id AS conv_b,
@@ -3358,6 +3446,110 @@ def oracle_sql() -> dict[str, str]:
       WHERE bit_count(xor(a.v, b.v)) <= 4
     """
 
+    # media_dedup (promoted to hash-exact r5, VERDICT r4 #4): the production
+    # extract_features -> sign-bit SimHash -> 4x16 band join path, whose fake
+    # decoder now derives feature components from sha256 hex nibbles
+    # ((nibble - 7.5)/8, multimodal.py _fake_decode_to_array) — so the sign
+    # bit of component i is simply nibble_i >= 8, reproducible in integer
+    # SQL. Bit 63 is emitted as long-min and summed first (_itq64_bit_term
+    # rationale); band keys are unsigned 16-bit slices via HUGEINT division.
+    _md_terms = []
+    for _b in (63, *range(63)):
+        _md_terms.append(
+            f"(CASE WHEN strpos('0123456789abcdef', substr(hh, {_b + 1}, 1))"
+            f" - 1 >= 8 THEN {_itq64_bit_term(_b, False)} ELSE 0 END)"
+        )
+    _md_bands = " UNION ALL ".join(
+        f"SELECT media_id, h, {_i} AS band_id,"
+        f" CAST((hu // {1 << (16 * _i)}::HUGEINT) % 65536 AS BIGINT) AS band_key"
+        f" FROM sigu"
+        for _i in range(4)
+    )
+    sql["media_dedup"] = f"""
+      WITH pay AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 100 < 8
+                    THEN 'dup-' || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR)
+                    ELSE text END AS payload
+        FROM documents
+      ),
+      hx AS (SELECT media_id, sha256(payload) AS hh FROM pay),
+      sig AS (SELECT media_id, CAST({" + ".join(_md_terms)} AS BIGINT) AS h
+              FROM hx),
+      sigu AS (
+        SELECT media_id, h,
+               (CAST(h AS HUGEINT)
+                + CASE WHEN h < 0 THEN {_P64} ELSE 0::HUGEINT END) AS hu
+        FROM sig
+      ),
+      bands AS ({_md_bands})
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id
+                   AND a.band_key = b.band_key AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.h, b.h)) <= 4
+    """
+
+    # e2lsh_pairs (promoted to hash-exact r5, VERDICT r4 #4): the quantized
+    # production kernel (embedding/e2lsh.py e2lsh_buckets_quantized_numpy)
+    # reproduced exactly — qx = floor(x * S + 0.5) per component, dot and
+    # floor-division entirely in BIGINT (order-insensitive), parameters
+    # inlined as integer literals from the SAME quantize_e2lsh_params call
+    # the Spark query makes. The oracle joins on raw (table, bucket-tuple)
+    # equality; Spark joins on xxhash64 of the tuple (injective up to
+    # negligible 64-bit collisions — q_e2lsh_pairs docstring). Embeddings
+    # are 64-dim at every sf (pinned by
+    # tests/test_prod_oracle.py::test_embeddings_are_64_dim_everywhere).
+    from lsh_cascade_poc_spark.embedding.e2lsh import (
+        E2LSH_QUANT_SCALE as _ES,
+    )
+    from lsh_cascade_poc_spark.embedding.e2lsh import (
+        make_e2lsh_params as _mk_ep,
+    )
+    from lsh_cascade_poc_spark.embedding.e2lsh import (
+        quantize_e2lsh_params as _q_ep,
+    )
+
+    _ep = _mk_ep(64, **_E2LSH_PAIRS_CFG)
+    _eqa, _eqb, _eqw = _q_ep(_ep)
+    _eden = _eqw * _ES
+    _edot_cols = []
+    _ebk_cols = []
+    for _l in range(_ep.n_tables):
+        for _j in range(_ep.k):
+            _eterms = " + ".join(
+                f"q[{_d + 1}] * ({int(_eqa[_l, _j, _d])})" for _d in range(64)
+            )
+            _edot_cols.append(
+                f"({_eterms} + ({int(_eqb[_l, _j]) * _ES})) AS n_{_l}_{_j}"
+            )
+            _n = f"n_{_l}_{_j}"
+            _ebk_cols.append(
+                f"CAST(({_n} - ((({_n} % {_eden}) + {_eden}) % {_eden}))"
+                f" // {_eden} AS INT) AS b_{_l}_{_j}"
+            )
+    _erows = " UNION ALL ".join(
+        f"SELECT vec_id, {_l} AS table_id, "
+        + ", ".join(f"b_{_l}_{_j} AS b{_j}" for _j in range(_ep.k))
+        + " FROM ebk"
+        for _l in range(_ep.n_tables)
+    )
+    sql["e2lsh_pairs"] = f"""
+      WITH eqx AS (
+        SELECT vec_id, list_transform(generate_series(1, 64),
+          i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {_ES} + 0.5)
+                    AS BIGINT)) AS q
+        FROM embeddings
+      ),
+      edots AS (SELECT vec_id, {", ".join(_edot_cols)} FROM eqx),
+      ebk AS (SELECT vec_id, {", ".join(_ebk_cols)} FROM edots),
+      erows AS ({_erows})
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM erows a JOIN erows b
+        ON a.table_id = b.table_id
+       AND {" AND ".join(f"a.b{_j} = b.b{_j}" for _j in range(_ep.k))}
+       AND a.vec_id < b.vec_id
+    """
+
     # ITQ transform with the SAME fitted 6-decimal literals q_itq_transform
     # inlines. The fit input must be byte-identical to the Spark query's
     # (vec_id-ordered float32 matrix), read here straight from the parquet
@@ -3374,10 +3566,12 @@ def oracle_sql() -> dict[str, str]:
         tbl_emb = pq.read_table(os.path.join(sf001, "embeddings.parquet"),
                                 columns=["vec_id", "embedding"])
         order = np.argsort(tbl_emb["vec_id"].to_numpy())
+        # same bounded deterministic fit sample as the Spark side's
+        # _itq_fit_matrix: first N rows in vec_id order
         x = np.stack(
             [np.asarray(v, dtype=np.float32)
              for v in tbl_emb["embedding"].to_pylist()]
-        )[order]
+        )[order][:_ITQ_FIT_SAMPLE_ROWS]
         w, c = _itq16_fold_model(x)
         bits = []
         for j in range(16):

@@ -330,19 +330,43 @@ def _run_child(phase: str, *args: str, on_line=None) -> dict:
 # --------------------------------------------------------------------------
 
 def _emit(results: dict, extra: dict) -> None:
-    """Print ONE complete JSON line with everything known so far. Called
-    after every phase: a driver timeout mid-bench still leaves the most
-    complete parseable line (the driver reads the LAST one; r1's rc=124
-    left parsed=null)."""
-    out = {
+    """Print the cumulative state as TWO JSON lines: a full detail line
+    (per-query dict + nested recall blob) followed by a COMPACT summary
+    line. The driver reads the LAST parseable line inside a bounded
+    tail-capture window; r4's single cumulative line grew past that window
+    (query sweep dict + recall detail ≈ 2.5 KB) and the official artifact
+    recorded parsed=null (VERDICT r4 #1a). The compact line (~450 B) always
+    fits; the detail stays machine-readable on the line above it. Emitted
+    after every finished run/phase, so a driver timeout mid-bench still
+    leaves a complete compact line as the tail."""
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    detail = {
         "metric": "dedup_cascade_total",
         "value": round(sum(results.values()), 3),
         "unit": "sec",
         "queries": dict(results),
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "sf": sf,
     }
-    out.update(extra)
-    print(json.dumps(out), flush=True)
+    detail.update(extra)
+    detail["line"] = "detail"
+    print(json.dumps(detail), flush=True)
+
+    headline = {
+        k: results[k]
+        for k in ("dedup_pipeline", f"dedup_pipeline_c{SCALE_LO}")
+        if k in results
+    }
+    compact = {
+        "metric": "dedup_cascade_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf,
+    }
+    compact.update(
+        {k: v for k, v in extra.items() if k != "recall"}
+    )
+    print(json.dumps(compact), flush=True)
 
 
 def main() -> None:
@@ -480,14 +504,45 @@ def main() -> None:
     # lo) resolves through the ladder — hi retries first read >0.98, which
     # then diagnoses the inflated lo. Every phase emits its cumulative
     # line, so a driver kill mid-retry loses nothing recorded.
+    #
+    # Widened in r5 (VERDICT r4 #1b — BENCH_r04 exhausted 3 hi-retries at
+    # 0.783 with a SINGLE stale lo draw): (a) up to 6 attempts inside the
+    # same 2400s budget; (b) a ONE-SHOT LO-RESAMPLE rule for the stuck
+    # case — when two consecutive hi retries fail to improve the hi min by
+    # >2% while the estimate still reads < 0.85, re-draw the single lo wall
+    # once to rule out a corrupted lo reading (a lo wall from a different
+    # host epoch than the hi draws is the epoch mixing BASELINE.md
+    # documents). The lo resample is capped at ONE draw in this band
+    # because under the min-per-level estimator a lo retry can only LOWER
+    # the lo min — it can never raise a low estimate — so repeated stuck-lo
+    # draws (~600s each) would burn the whole retry budget on walls that
+    # cannot move the reading; after the one diagnostic lo draw the budget
+    # goes back to hi retries, the only draws that can lift a low estimate
+    # (r4's actual failure: 8 hi draws all >= 191.7s against a 164.2s
+    # recorded floor — hi never landed a clean phase). The rule cannot
+    # manufacture a pass: lo draws only lower the estimate, hi draws only
+    # tighten toward the noise-free wall.
     attempts = 0
-    while attempts < 3 and time.perf_counter() - t_start < 2400:
-        if eff < 0.85:
-            _measure(SCALE_HI, 2, f"_retry{attempts + 1}", walls_hi)
-        elif eff > 0.98:
-            _measure(SCALE_LO, 1, f"_retry{attempts + 1}", walls_lo)
-        else:
+    hi_mins = [min(walls_hi)]
+    lo_stuck_drawn = False
+    while attempts < 6 and time.perf_counter() - t_start < 2400:
+        if 0.85 <= eff <= 0.98:
             break
+        if eff > 0.98:
+            level = "lo"
+        elif (not lo_stuck_drawn and len(hi_mins) >= 3
+                and hi_mins[-1] > hi_mins[-3] * 0.98):
+            # hi min stable across the last two hi retries yet eff < 0.85:
+            # one diagnostic re-draw of the lo wall, then back to hi
+            level = "lo"
+            lo_stuck_drawn = True
+        else:
+            level = "hi"
+        if level == "hi":
+            _measure(SCALE_HI, 2, f"_retry{attempts + 1}", walls_hi)
+            hi_mins.append(min(walls_hi))
+        else:
+            _measure(SCALE_LO, 1, f"_retry{attempts + 1}", walls_lo)
         eff = _finish()
         attempts += 1
 

@@ -70,6 +70,67 @@ def make_e2lsh_udf(params: E2LSHParams):
     return e2lsh
 
 
+# fixed-point scale (1e-6 grid) for the cross-engine-exact E2LSH variant
+E2LSH_QUANT_SCALE = 1_000_000
+
+
+def _quantize_fixed(x: np.ndarray, scale: int) -> np.ndarray:
+    """Round-half-up fixed-point image of x: floor(x * scale + 0.5) — chosen
+    over rint because floor() has identical semantics in numpy and in SQL
+    engines, while rint's half-to-even disagrees with SQL round()."""
+    return np.floor(x.astype(np.float64) * scale + 0.5).astype(np.int64)
+
+
+def quantize_e2lsh_params(
+    params: E2LSHParams, scale: int = E2LSH_QUANT_SCALE
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(qa, qb, qw): fixed-point images of (a, b, w) on the 1/scale grid."""
+    qa = _quantize_fixed(params.a, scale)
+    qb = _quantize_fixed(params.b, scale)
+    qw = int(np.floor(params.w * scale + 0.5))
+    assert qw > 0, "w must be positive"
+    return qa, qb, qw
+
+
+def e2lsh_buckets_quantized_numpy(
+    vectors: np.ndarray, qa: np.ndarray, qb: np.ndarray, qw: int,
+    scale: int = E2LSH_QUANT_SCALE,
+) -> np.ndarray:
+    """(n, dim) float -> (n, L, k) int32 buckets in EXACT int64 arithmetic:
+
+        bucket = floor((<a,x> + b) / w)  on the 1/scale quantized grid
+               = floordiv(<qa,qx> + qb*scale, qw*scale)
+
+    Every step is order-insensitive integer math, so the bucket ids are
+    bit-identical in ANY engine with 64-bit integers — the property the
+    float32 kernel fundamentally lacks (its dot-accumulation order decides
+    boundary floors; VERDICT r4 #4). Magnitude budget: |qa| <= ~6e6 for
+    N(0,1) projections, |qx| <= scale * max|x| — int64 holds the dot for
+    dim * 6e6 * scale * max|x| < 9.2e18, i.e. max|x| < ~23 at dim=64."""
+    qx = _quantize_fixed(vectors, scale)
+    dot = np.einsum("lkd,nd->nlk", qa, qx)
+    num = dot + qb[None, :, :] * scale
+    return np.floor_divide(num, qw * scale).astype(np.int32)
+
+
+def make_e2lsh_quantized_udf(params: E2LSHParams, scale: int = E2LSH_QUANT_SCALE):
+    """pandas_udf: array<float> -> array<array<int>> — the quantized kernel
+    in the SAME Arrow-batch shape as make_e2lsh_udf (drop-in for the
+    explode/join path)."""
+    qa, qb, qw = quantize_e2lsh_params(params, scale)
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.IntegerType())))
+    def e2lsh_q(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            x = np.stack([np.asarray(v, dtype=np.float32) for v in s])
+            buckets = e2lsh_buckets_quantized_numpy(x, qa, qb, qw, scale)
+            yield pd.Series(
+                [[list(map(int, tbl)) for tbl in row] for row in buckets]
+            )
+
+    return e2lsh_q
+
+
 def explode_e2lsh_buckets(df: DataFrame, buckets_col: str, id_col: str = "vec_id") -> DataFrame:
     """-> (id, table_id, bucket_key:int64) — the reference's L dict tables as
     one exploded relation; bucket tuple hashed to a single join key JVM-side."""

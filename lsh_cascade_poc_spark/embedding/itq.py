@@ -185,3 +185,54 @@ def isotropy_score(x: np.ndarray) -> float:
     cov = xc.T @ xc / max(1, xc.shape[0] - 1)
     eig = np.linalg.eigvalsh(cov)
     return float(eig.min() / eig.max()) if eig.max() > 0 else 0.0
+
+
+def compute_embedding_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 1000,
+    seed: int = 42,
+) -> dict:
+    """H16-b: sampled cosine-similarity distribution diagnostic (reference
+    compute_embedding_stats, src/loader_comparison.py:143-179).
+
+    The reference samples `sample_size` random index pairs from an in-memory
+    (n, dim) matrix. Here the corpus is a DataFrame that may not fit anywhere,
+    so the sampling is re-expressed scale-safely: a bounded POOL of
+    2*sample_size vectors is drawn in deterministic xxhash64(id, seed) order
+    (a top-K TakeOrdered over the scan — no global sort, no full-corpus
+    window or collect; the hash order is a seeded pseudo-random permutation,
+    so the pool is a uniform sample for exchangeable rows and identical
+    across partitionings), then the reference's seeded pair-index draw and
+    statistics run verbatim on that pool. Unlike the reference — which
+    assumes pre-normalized embeddings and uses a raw dot product — the
+    cosine here divides by the norms, so the diagnostic is meaningful for
+    un-normalized inputs too (identical for normalized ones)."""
+    n = int(df.count())
+    if n == 0:
+        raise ValueError("compute_embedding_stats: empty DataFrame")
+    pool_rows = min(n, 2 * sample_size)
+    pool = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(pool_rows)
+        .toPandas()
+    )
+    x = np.stack([np.asarray(v, dtype=np.float32) for v in pool[vec_col]])
+
+    rng = np.random.default_rng(seed)
+    idx1 = rng.integers(0, len(x), size=sample_size)
+    idx2 = rng.integers(0, len(x), size=sample_size)
+    a, b = x[idx1].astype(np.float64), x[idx2].astype(np.float64)
+    norms = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    cos = np.where(norms > 0, np.sum(a * b, axis=1) / np.where(norms > 0, norms, 1.0), 0.0)
+    return {
+        "n_vectors": n,
+        "dim": int(x.shape[1]),
+        "cos_sim_mean": float(np.mean(cos)),
+        "cos_sim_std": float(np.std(cos)),
+        "cos_sim_min": float(np.min(cos)),
+        "cos_sim_max": float(np.max(cos)),
+        "cos_sim_median": float(np.median(cos)),
+    }

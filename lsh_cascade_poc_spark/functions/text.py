@@ -123,9 +123,18 @@ def bpe_like_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
-def fingerprint_md5(col: Column) -> Column:
-    """Content fingerprint of the normalized text (exact-dup key)."""
-    return F.md5(normalize_text(col))
+def fingerprint_md5(col: Column, max_chars: int = 2048) -> Column:
+    """Content fingerprint of the normalized text (exact-dup key).
+
+    max_chars follows normalize_text's default for RAW input text (the
+    standalone exact-dup operator's semantics, reference src/loader.py
+    truncation). Pass max_chars=0 when fingerprinting text that is already
+    normalized and must be keyed on its FULL content — e.g. the pipeline's
+    assembled doc_text: a truncated fingerprint falsely collapses any two
+    long documents that share their first max_chars normalized characters
+    into one "exact" group (found r5 by a synthetic prefix-sharing pair:
+    the cascade reported jaccard 1.0 for a true-0.885 pair)."""
+    return F.md5(normalize_text(col, max_chars=max_chars))
 
 
 def fingerprint_xxhash(col: Column) -> Column:

@@ -85,12 +85,30 @@ def _real_decode_to_array(payload: bytes, modality: str, n: int) -> np.ndarray:
 
 def _fake_decode_to_array(payload: bytes, n: int) -> np.ndarray:
     """Deterministic stand-in for a codec: expand payload bytes into a
-    float32 array via seeded hashing (stable across runs/partitions)."""
+    float32 array via counter-mode sha256 (stable across runs/partitions).
+
+    Component i is (nibble_i - 7.5) / 8 over the digest's hex nibbles
+    (counter-mode rehash past 64 components): every value is exactly
+    representable in float32 (k/16 grid), so the feature — and the sign-bit
+    SimHash over it — is reproducible in integer SQL, which is what lets
+    q_media_dedup carry a hash-exact DuckDB oracle (r5; previously
+    np.default_rng standard_normal, unpinnable cross-engine). A fake
+    decoder's values are arbitrary by definition; this one is chosen to be
+    cross-engine exact while keeping the distribution centered."""
     if payload is None:
         return np.zeros(n, dtype=np.float32)
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(n).astype(np.float32)
+    nibbles: list[int] = []
+    digest = hashlib.sha256(bytes(payload)).hexdigest()
+    counter = 0
+    while len(nibbles) < n:
+        nibbles.extend(int(c, 16) for c in digest)
+        counter += 1
+        if len(nibbles) < n:
+            digest = hashlib.sha256(
+                bytes(payload) + counter.to_bytes(4, "little")
+            ).hexdigest()
+    vals = (np.asarray(nibbles[:n], dtype=np.float64) - 7.5) / 8.0
+    return vals.astype(np.float32)
 
 
 def extract_features(

@@ -67,7 +67,10 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
     fp = (
         F.col("fingerprint") if "fingerprint" in docs.columns
-        else fingerprint_md5(F.col("doc_text"))
+        # max_chars=0: the exact-dup key must cover the FULL assembled text
+        # (a truncated key collapses prefix-sharing long docs — see
+        # functions/text.py fingerprint_md5)
+        else fingerprint_md5(F.col("doc_text"), max_chars=0)
     )
     # doc_text deliberately NOT carried: signatures are checkpointed and
     # re-joined repeatedly; the raw text stays in the docs table only
@@ -243,7 +246,10 @@ def run_dedup(
                     turns, max_turn_chars=cfg.max_turn_chars,
                     min_doc_chars=cfg.min_doc_chars,
                 )
-            ).withColumn("fingerprint", fingerprint_md5(F.col("doc_text")))
+            ).withColumn(
+                # max_chars=0: full-content exact key (see fingerprint_md5)
+                "fingerprint", fingerprint_md5(F.col("doc_text"), max_chars=0)
+            )
         ),
     )
     if cfg.check_id_collisions:

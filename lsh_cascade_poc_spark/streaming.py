@@ -233,7 +233,11 @@ class IncrementalDedup:
                     turns_batch, max_turn_chars=cfg.max_turn_chars,
                     min_doc_chars=cfg.min_doc_chars,
                 )
-            ).withColumn("fingerprint", fingerprint_md5(F.col("doc_text")))
+            ).withColumn(
+                # max_chars=0: full-content exact key, same as the batch
+                # path (see functions/text.py fingerprint_md5)
+                "fingerprint", fingerprint_md5(F.col("doc_text"), max_chars=0)
+            )
         ).localCheckpoint(eager=True)
 
         # exact-fingerprint collapse BEFORE the signature kernel or banding

@@ -289,3 +289,82 @@ def test_hamming_topn_contains_self(spark, emb_df, planes):
         rows = [r for r in top if r.query_id == qid]
         assert len(rows) == 5
         assert min(r.hamming for r in rows) == 0  # self at distance 0
+
+
+def test_compute_embedding_stats(spark, emb_df, vectors):
+    """H16-b (VERDICT r4 #3): sampled cosine-distribution diagnostic vs the
+    reference compute_embedding_stats semantics (src/loader_comparison.py:
+    143-179) — same seeded pair-index draw and statistics, run on the
+    documented deterministic hash-ordered pool. Recomputed here verbatim
+    from the contract (unit vectors: dot == cosine), plus partitioning
+    invariance (the pool order must not depend on the physical layout)."""
+    from lsh_cascade_poc_spark.embedding.itq import compute_embedding_stats
+
+    stats = compute_embedding_stats(emb_df, sample_size=200, seed=42)
+    assert stats["n_vectors"] == len(vectors)
+    assert stats["dim"] == vectors.shape[1]
+    assert -1.0 - 1e-9 <= stats["cos_sim_min"] <= stats["cos_sim_median"]
+    assert stats["cos_sim_median"] <= stats["cos_sim_max"] <= 1.0 + 1e-9
+
+    # independent recomputation from the documented contract
+    pool_ids = [
+        r.vec_id
+        for r in emb_df.select("vec_id")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(42)))
+        .collect()
+    ]
+    x = np.stack([vectors[i] for i in pool_ids]).astype(np.float64)
+    rng = np.random.default_rng(42)
+    i1 = rng.integers(0, len(x), size=200)
+    i2 = rng.integers(0, len(x), size=200)
+    cos = np.sum(x[i1] * x[i2], axis=1)  # unit vectors: dot == cosine
+    assert abs(stats["cos_sim_mean"] - float(np.mean(cos))) < 1e-6
+    assert abs(stats["cos_sim_std"] - float(np.std(cos))) < 1e-6
+    assert abs(stats["cos_sim_median"] - float(np.median(cos))) < 1e-6
+
+    # partitioning invariance: identical dict regardless of layout
+    again = compute_embedding_stats(emb_df.repartition(7), sample_size=200, seed=42)
+    assert again == stats
+
+
+def test_e2lsh_quantized_kernel(spark, emb_df, vectors):
+    """The fixed-point E2LSH variant (r5, VERDICT r4 #4): UDF == numpy
+    bit-exactly, buckets are genuine floors (negative-side check), and the
+    quantized grid stays within one bucket of the float32 kernel."""
+    import math
+
+    from lsh_cascade_poc_spark.embedding.e2lsh import (
+        e2lsh_buckets_numpy,
+        e2lsh_buckets_quantized_numpy,
+        make_e2lsh_params,
+        make_e2lsh_quantized_udf,
+        quantize_e2lsh_params,
+    )
+
+    params = make_e2lsh_params(vectors.shape[1], k=3, n_tables=2, w=2.0, seed=7)
+    qa, qb, qw = quantize_e2lsh_params(params)
+    want = e2lsh_buckets_quantized_numpy(vectors.astype(np.float32), qa, qb, qw)
+    rows = (
+        emb_df.select("vec_id", make_e2lsh_quantized_udf(params)("embedding").alias("b"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    got = np.array([r.b for r in rows], dtype=np.int32)
+    assert np.array_equal(got, want)
+
+    # floor (not truncation) on the negative side: exact rational cross-check
+    S = 1_000_000
+    neg = -vectors[:5]
+    qx = np.floor(neg.astype(np.float64) * S + 0.5).astype(np.int64)
+    b = e2lsh_buckets_quantized_numpy(neg.astype(np.float32), qa, qb, qw)
+    for n in range(5):
+        for line in range(2):
+            for j in range(3):
+                num = int(np.dot(qa[line, j], qx[n])) + int(qb[line, j]) * S
+                assert b[n, line, j] == math.floor(num / (qw * S)) == num // (qw * S)
+
+    # the 1e-6 grid can only move a projection across a floor boundary by
+    # ~dim*1e-6/w — quantized and float32 buckets agree except at boundaries
+    f32 = e2lsh_buckets_numpy(vectors.astype(np.float32), params)
+    assert np.abs(f32.astype(np.int64) - want.astype(np.int64)).max() <= 1
+    assert (f32 == want).mean() > 0.99

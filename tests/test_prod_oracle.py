@@ -301,3 +301,143 @@ def test_embeddings_are_64_dim_everywhere():
             f" FROM read_parquet('{path}')"
         ).fetchone()
         assert (lo, hi) == (64, 64), (path, lo, hi)
+
+
+def test_dedup_oracle_space_boundary_truncation(spark, tmp_path):
+    """Regression (ADVICE r5): a turn whose max_turn_chars truncation ends ON
+    a space leaves the assembled turn with a trailing space (normalize_text
+    truncates LAST), so after the oracle's replace(chr(10) -> ' ') the doc
+    carries a double space and DuckDB string_split emits an '' token the
+    production kernel's python str.split() never does — shifting tok_idx and
+    the whole token-hash chain. The driver corpora never hit the boundary;
+    this synthesizes it: token 1 is exactly 2047 chars, so the first 20-token
+    window's join has a space at position 2048 and truncation ends on it."""
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from lsh_cascade_poc_spark.config import DedupConfig
+
+    cfg = DedupConfig(**entry._DEDUP_Q_CFG)
+    big = "a" * (cfg.max_turn_chars - 1)
+    base = [big] + [f"tok{i}" for i in range(1, 100)]
+    # the boundary really is hit: window-1 body truncates to "...a "
+    w1 = " ".join(base[: entry._TURN_TOKENS])
+    assert w1[cfg.max_turn_chars - 1] == " " and len(w1) > cfg.max_turn_chars
+    near = list(base)
+    near[50] = "tokFIFTYchanged"  # 1 of 100 tokens -> true Jaccard ~0.90
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [" ".join(base), " ".join(near),
+                 " ".join(f"other{i}word" for i in range(60))],
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(sf / "documents.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    got_pairs = sorted(
+        (r.conv_a, r.conv_b, round(r.jaccard, 9))
+        for r in entry.queries()["dedup_pairs"](spark, str(sf)).collect()
+    )
+    want_pairs = sorted(
+        (a, b, round(j, 9))
+        for a, b, j in con.execute(entry.oracle_sql()["dedup_pairs"]).fetchall()
+    )
+    assert got_pairs == want_pairs
+    assert len(got_pairs) == 1 and got_pairs[0][:2] == ("doc1", "doc2")
+    got_cl = sorted(
+        (r.conv_id, r.cluster_conv)
+        for r in entry.queries()["dedup_clusters"](spark, str(sf)).collect()
+    )
+    want_cl = sorted(
+        con.execute(entry.oracle_sql()["dedup_clusters"]).fetchall()
+    )
+    assert got_cl == want_cl
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_dedup_band_occupancy_below_hot_cap(spark, sf_dir):
+    """Scope precondition of the dedup_pairs/dedup_clusters oracles (ADVICE
+    r5): the oracle omits hot_band_cap on the claim that no gate corpus has
+    a band bucket with >= hot_band_cap colliding docs. Assert it loudly for
+    every tier the production pipeline caps (coarse, tight, SimHash) at both
+    gate scale factors — if a future corpus or config drift makes the cap
+    bind, this fails HERE with a clear message instead of surfacing as an
+    inscrutable hash mismatch in CORRECTNESS_r{N}."""
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata absent")
+    import __spark_entry__ as entry
+    from lsh_cascade_poc_spark.config import DedupConfig
+    from lsh_cascade_poc_spark.operators.bands import explode_bands
+    from lsh_cascade_poc_spark.functions.simhash import simhash_band_key
+
+    cfg = DedupConfig(**entry._DEDUP_Q_CFG)
+    sigs = entry._dedup_run(spark, sf_dir).signatures
+    tiers = [
+        explode_bands(sigs, "minhash", tier=0, n_bands=cfg.coarse_n_bands,
+                      rows_per_band=cfg.coarse_rows_per_band),
+        explode_bands(sigs, "minhash", tier=1, n_bands=cfg.tight_n_bands,
+                      rows_per_band=cfg.tight_rows_per_band),
+        sigs.select(
+            "doc_id",
+            F.posexplode(F.array(*[
+                simhash_band_key(F.col("simhash"), i, cfg.simhash_band_bits)
+                for i in range(cfg.simhash_bits // cfg.simhash_band_bits)
+            ])).alias("band_id", "band_key"),
+        ).withColumn("tier", F.lit(2)),
+    ]
+    for t in tiers:
+        occ = (
+            t.groupBy("tier", "band_id", "band_key")
+            .agg(F.countDistinct("doc_id").alias("n"))
+            .agg(F.max("n").alias("mx"), F.first("tier").alias("tier"))
+            .collect()[0]
+        )
+        assert occ.mx < cfg.hot_band_cap, (
+            f"{sf_dir} tier {occ.tier}: a band bucket holds {occ.mx} docs >= "
+            f"hot_band_cap {cfg.hot_band_cap}; the dedup oracle's no-cap "
+            f"assumption no longer holds — add the cap to the oracle SQL"
+        )
+
+
+def test_registry_window_shape():
+    """Window-discipline record (VERDICT r4 #5 / ADVICE r4): all 53 queries
+    are oracle-backed; the two production kernels promoted r5 (e2lsh_pairs,
+    media_dedup) sit INSIDE the driver's 50-entry window; the three tail
+    entries are exactly the subsumed/doubly-pinned ones."""
+    import __spark_entry__ as entry
+
+    q = list(entry.queries())
+    o = entry.oracle_sql()
+    assert set(q) == set(o), "every queries() entry must carry an oracle"
+    assert q[50:] == ["itq_transform", "e2lsh_buckets", "overlap_pairs"]
+    assert "e2lsh_pairs" in q[:50] and "media_dedup" in q[:50]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+def test_tail_queries_hash_exact_sf0001(spark, monkeypatch):
+    """The registry entries outside the driver's 50-query window stay
+    hash-exact at a SECOND scale factor (overlap_pairs has its dedicated
+    test above; this pins the two displaced in r5 — itq_transform and
+    e2lsh_buckets — so tail placement can never hide a regression)."""
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF", SF001)
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS"
+        f" SELECT * FROM read_parquet('{SF001}/embeddings.parquet')"
+    )
+    qs, osql = entry.queries(), entry.oracle_sql()
+    for name in ("itq_transform", "e2lsh_buckets"):
+        got = sorted(tuple(r) for r in qs[name](spark, SF001).collect())
+        want = sorted(tuple(r) for r in con.execute(osql[name]).fetchall())
+        assert got == want, name
+        assert len(got) > 0, name

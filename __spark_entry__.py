@@ -1497,7 +1497,9 @@ def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.col("doc_text").rlike("^[ -~]*$") & (F.length("doc_text") >= 96)
     )
-    fps = winnow_fingerprints(docs, k=24, w=32)
+    # materialized: the candidate gate's broadcast-sizing count would
+    # otherwise re-run the winnow kernel (see pipeline.py overlap_pairs)
+    fps = winnow_fingerprints(docs, k=24, w=32).localCheckpoint(eager=True)
     cands = overlap_candidates(fps)
     return verify_overlaps(cands, docs, k=24, min_overlap_chars=96)
 

@@ -328,16 +328,60 @@ def winnow_fingerprints(docs: DataFrame, k: int, w: int,
     )
 
 
+# Broadcast cap for the shared-fp GATE set (single int64 column): below
+# this row count the gate semi-join broadcasts (~8 bytes/row -> <=64MB
+# blob), above it it stays a shuffle join. Why not the session-wide AQE
+# threshold: that was deliberately lowered to 8MB after mid-size TEXT
+# relations stalled the driver (session.py rationale) — this set is the
+# one relation where a bigger broadcast measurably pays (r5 A/B on the
+# 19.6M-fp bench corpus, interleaved draws: broadcast 25.1-30.6s vs
+# shuffle-gate 35.8-66.3s vs shuffle_hash-hint 30.1-60.2s, identical
+# 309,711 output rows). Scale: shared fps grow with the corpus, so at the
+# 100TB design point the count exceeds this cap and the code falls back to
+# the shuffle join on its own — the broadcast is an optimization the
+# runtime size decides, never an assumption.
+_GATE_BROADCAST_MAX_FPS = 8_000_000
+
+
+def _shared_fp_gate(fps: DataFrame, hot_cap: int,
+                    persist_registry: list | None = None) -> DataFrame:
+    """fps filtered to fingerprints SHARED by 2..hot_cap docs. The lower
+    bound is the big win: winnowing over distinct text makes most
+    fingerprints singletons (measured at the 2.4M-turn bench corpus: 9.36M
+    distinct fps, only 1.47M shared — 65% of the 12.28M exploded rows were
+    singleton fps that can never form a pair yet flowed through the
+    self-join's build/probe). The upper bound is the old hot cap: fps above
+    it are boilerplate, not overlap evidence. Output is IDENTICAL —
+    singletons produce zero pairs.
+
+    The gate set is persisted and counted (the count reuses the persisted
+    aggregate, so the expensive fps pass still runs ONCE), then broadcast
+    iff it is small enough — see _GATE_BROADCAST_MAX_FPS."""
+    counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
+    shared = counts.filter(
+        (F.col("n_docs") >= 2) & (F.col("n_docs") <= hot_cap)
+    ).select("fp").persist()
+    if persist_registry is not None:
+        persist_registry.append(shared)
+    gate = (
+        F.broadcast(shared)
+        if shared.count() <= _GATE_BROADCAST_MAX_FPS else shared
+    )
+    return fps.join(gate, "fp")
+
+
 def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
-                       min_shared_fps: int = 1) -> DataFrame:
+                       min_shared_fps: int = 1,
+                       persist_registry: list | None = None) -> DataFrame:
     """Self-join fingerprints -> per-pair seed candidates (three seeds per
     pair, see _pair_seed_agg) bounding the verify stage.
 
     Skew control: fingerprints shared by more than `hot_cap` docs are
     boilerplate (short repeated turns), not long-overlap evidence — dropped
-    before the self-join (quadratic in bucket size). `min_shared_fps`
-    exploits the winnowing density (one fingerprint per ~w/2 chars): a true
-    long overlap shares many fingerprints, an accidental collision one.
+    before the self-join (quadratic in bucket size); see _shared_fp_gate.
+    `min_shared_fps` exploits the winnowing density (one fingerprint per
+    ~w/2 chars): a true long overlap shares many fingerprints, an
+    accidental collision one.
 
     Shape note (measured on the 24.5M-fp bench corpus, local[4]): this
     countDistinct + codegen self-join formulation beat both a
@@ -346,24 +390,7 @@ def overlap_candidates(fps: DataFrame, hot_cap: int = 200,
     collect_list-per-fp + higher-order-function pair-explosion variant
     (5x slower: interpreted lambda expressions + object aggregation lose
     badly to whole-stage-codegen joins). Don't "simplify" it back."""
-    counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
-    # keep only fps SHARED by 2..hot_cap docs. The lower bound is the big
-    # win: winnowing over distinct text makes most fingerprints singletons
-    # (measured at the 2.4M-turn bench corpus: 9.36M distinct fps, only
-    # 1.47M shared — 65% of the 12.28M exploded rows were singleton fps
-    # that can never form a pair yet flowed through the self-join's
-    # build/probe). The upper bound is the old hot cap: fps above it are
-    # boilerplate, not overlap evidence. Output is IDENTICAL — singletons
-    # produce zero pairs. The inner join reuses the fp partitioning the
-    # self-join needs anyway, so this adds no exchange; AQE decides the
-    # build side from the shared-fp set's actual runtime size (it scales
-    # with corpus, so no forced broadcast hint).
-    cold = fps.join(
-        counts.filter(
-            (F.col("n_docs") >= 2) & (F.col("n_docs") <= hot_cap)
-        ).select("fp"),
-        "fp",
-    )
+    cold = _shared_fp_gate(fps, hot_cap, persist_registry)
     a = cold.select("fp", F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"))
     b = cold.select("fp", F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"))
     out = _pair_seed_agg(
@@ -435,6 +462,7 @@ def overlap_candidates_probe(
     new_fps: DataFrame,
     hot_cap: int = 200,
     min_shared_fps: int = 1,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Incremental variant of `overlap_candidates`: fingerprints of NEW docs
     probe the union of (persistent index ∪ new) fingerprints, emitting only
@@ -452,13 +480,9 @@ def overlap_candidates_probe(
     ).unionByName(
         new_fps.select("doc_id", "fp", "pos").withColumn("is_new", F.lit(True))
     )
-    counts = comb.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
-    kept = comb.join(
-        counts.filter(
-            (F.col("n_docs") >= 2) & (F.col("n_docs") <= hot_cap)
-        ).select("fp"),
-        "fp",
-    )
+    # same size-gated broadcast semi-join as the batch operator (the gate
+    # CONTENT is identical either way; only the join strategy adapts)
+    kept = _shared_fp_gate(comb, hot_cap, persist_registry)
     a = kept.select(
         "fp", F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"),
         F.col("is_new").alias("new_a"),

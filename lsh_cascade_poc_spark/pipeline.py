@@ -34,7 +34,7 @@ from .functions.signature_udf import make_signature_udf
 from .functions.simhash import hamming64, simhash_band_key
 from .functions.text import fingerprint_md5
 from .operators.assemble import assemble_conversations, with_doc_id
-from .operators.bands import cap_hot_bands, explode_bands
+from .operators.bands import explode_bands, pairable_bands
 from .operators.components import clusters_with_singletons, connected_components
 from .operators.pairs import (
     pairs_from_bands,
@@ -104,13 +104,16 @@ def minhash_candidate_pairs(
     can unpersist them once downstream stages are materialized (leaked
     persists accumulate block-manager memory across repeated runs — measured
     as a 7x warm-run slowdown on this VM's ballooned memory)."""
-    # tier 0: coarse, whole corpus
+    # tier 0: coarse, whole corpus. pairable_bands (not cap_hot_bands):
+    # every consumer below is a pair self-join, so singleton buckets are
+    # dead weight — gating them out shrank this stage ~3x (bands.py
+    # measurement note)
     coarse = explode_bands(
         signatures, "minhash", tier=0,
         n_bands=cfg.coarse_n_bands, rows_per_band=cfg.coarse_rows_per_band,
     )
-    coarse_kept, hot0 = cap_hot_bands(coarse, cfg.hot_band_cap,
-                                      persist_registry=persist_registry)
+    coarse_kept, hot0 = pairable_bands(coarse, cfg.hot_band_cap,
+                                       persist_registry=persist_registry)
     # persisted: referenced by the survivor gate AND the final AND-join —
     # without it the band self-join recomputes once per consumer
     coarse_pairs = pairs_from_bands(coarse_kept, cfg.pair_repartition).persist()
@@ -125,8 +128,8 @@ def minhash_candidate_pairs(
         sigs_surv, "minhash", tier=1,
         n_bands=cfg.tight_n_bands, rows_per_band=cfg.tight_rows_per_band,
     )
-    tight_kept, hot1 = cap_hot_bands(tight, cfg.hot_band_cap,
-                                     persist_registry=persist_registry)
+    tight_kept, hot1 = pairable_bands(tight, cfg.hot_band_cap,
+                                      persist_registry=persist_registry)
     tight_pairs = pairs_with_min_match(tight_kept, cfg.tight_min_match).select(
         "id_a", "id_b"
     )
@@ -160,8 +163,8 @@ def simhash_candidate_pairs(
             ])
         ).alias("band_id", "band_key"),
     ).withColumn("tier", F.lit(2))
-    kept, hot = cap_hot_bands(banded, cfg.hot_band_cap,
-                              persist_registry=persist_registry)
+    kept, hot = pairable_bands(banded, cfg.hot_band_cap,
+                               persist_registry=persist_registry)
     a = kept.select("tier", "band_id", "band_key",
                     F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
     b = kept.select("tier", "band_id", "band_key",
@@ -176,11 +179,8 @@ def simhash_candidate_pairs(
     return pairs, hot
 
 
-def overlap_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Winnowing fingerprints -> seed candidates -> exact extension; emits
-    pairs sharing an exact substring of >= min_overlap_chars.
-
-    Docs shorter than min_overlap_chars BYTES (the kernel and verifier
+def overlap_docs_gate(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Docs shorter than min_overlap_chars BYTES (the kernel and verifier
     measure UTF-8 bytes) cannot appear in any reportable pair — a shared
     substring of length L requires both docs >= L — so they are gated out
     before the fingerprint kernel, shrinking the kernel input, the fp
@@ -190,12 +190,30 @@ def overlap_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     straddling the hot-cap boundary can change sides and perturb seed
     selection for surviving pairs — a hot-cap heuristic sensitivity the
     cap always had, not a property of this gate."""
-    docs = docs.filter(
+    return docs.filter(
         F.octet_length(F.col("doc_text")) >= cfg.min_overlap_chars
     )
-    fps = winnow_fingerprints(docs, cfg.winnow_kgram_chars, cfg.winnow_window)
+
+
+def overlap_pairs(docs: DataFrame, cfg: DedupConfig,
+                  persist_registry: list | None = None,
+                  fps: DataFrame | None = None) -> DataFrame:
+    """Winnowing fingerprints -> seed candidates -> exact extension; emits
+    pairs sharing an exact substring of >= min_overlap_chars.
+
+    `fps`: pass the PRE-MATERIALIZED winnow fingerprint table (run_dedup
+    checkpoints it as its own stage). The candidate gate counts the
+    shared-fp set in a separate action to size-gate its broadcast
+    (operators/suffix.py _shared_fp_gate); with a lazy fps plan that count
+    would re-run the winnow kernel — the most expensive Arrow pass in the
+    stage — a second time."""
+    docs = overlap_docs_gate(docs, cfg)
+    if fps is None:
+        fps = winnow_fingerprints(docs, cfg.winnow_kgram_chars,
+                                  cfg.winnow_window)
     cands = overlap_candidates(fps, hot_cap=cfg.overlap_hot_cap,
-                               min_shared_fps=cfg.overlap_min_shared_fps)
+                               min_shared_fps=cfg.overlap_min_shared_fps,
+                               persist_registry=persist_registry)
     return verify_overlaps(
         cands, docs, cfg.winnow_kgram_chars, cfg.min_overlap_chars
     ).select("id_a", "id_b")
@@ -273,6 +291,19 @@ def run_dedup(
     # and all LSH passes see one row per distinct text; members re-attach via
     # star edges in the clustering stage.
     persists: list = []
+
+    def _release(dfs: list) -> None:
+        # persisted intermediates die with the stage that consumed them:
+        # holding them through later stages measurably slows THOSE stages
+        # on this memory-balloon host (r5: verify ran 3x slower with the
+        # three tiers' gate tables still cached)
+        for df in dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        dfs.clear()
+
     reps_docs = docs.filter(F.col("doc_id") == F.col("_root"))
     star_edges = docs.filter(F.col("doc_id") != F.col("_root")).select(
         F.col("_root").alias("id_a"), F.col("doc_id").alias("id_b")
@@ -286,29 +317,48 @@ def run_dedup(
     # host — three tiers' shuffles live simultaneously and the working set
     # blows past the VM's fault-handler comfort zone. Separate stages also
     # keep per-tier resume + A5 reduction metrics trivially.
-    mh_pairs_lazy, mh_hot = minhash_candidate_pairs(sig_reps, cfg, persists)
+    band_persists: list = []
+    mh_pairs_lazy, mh_hot = minhash_candidate_pairs(sig_reps, cfg, band_persists)
     mh_pairs = stage(
         "pairs_minhash", lambda: mh_pairs_lazy.withColumn("source", F.lit("minhash"))
     )
-    sh_pairs_lazy, sh_hot = simhash_candidate_pairs(sig_reps, cfg, persists)
+    sh_pairs_lazy, sh_hot = simhash_candidate_pairs(sig_reps, cfg, band_persists)
     sh_pairs = stage(
         "pairs_simhash", lambda: sh_pairs_lazy.withColumn("source", F.lit("simhash"))
     )
     # A5/ADVICE: dropped hot buckets are recorded, not silent — their own
     # stage row (count + per-bucket sizes) in the metrics/checkpoint store.
     # The per-bucket count tables were persisted while the pair stages
-    # evaluated (cap_hot_bands persist_registry), so this is a cheap filter,
-    # not a band-table re-scan. Only materialized when a store is recording.
+    # evaluated (pairable_bands persist_registry), so this is a cheap
+    # filter, not a band-table re-scan. Only materialized when a store is
+    # recording.
     if store is not None:
         stage("hot_band_drops", lambda: mh_hot.unionByName(sh_hot))
+    # every band-tier persisted intermediate is now consumed
+    _release(band_persists)
     sources = [exact_pairs, mh_pairs, sh_pairs]
     if enable_overlap_stage:
         # narrow filter, not a semi-join: reps are tagged on the docs rows
         docs_reps = docs.filter(F.col("doc_id") == F.col("_root"))
+        # the fp table is its own materialization: the candidate gate's
+        # broadcast-sizing count (suffix.py _shared_fp_gate) and the
+        # candidate self-join both consume it — lazy, the winnow Arrow
+        # kernel would run once per consumer
+        ov_fps = stage(
+            "overlap_fps",
+            lambda: winnow_fingerprints(
+                overlap_docs_gate(docs_reps, cfg),
+                cfg.winnow_kgram_chars, cfg.winnow_window,
+            ),
+        )
+        ov_persists: list = []
         ov_pairs = stage(
             "pairs_overlap",
-            lambda: overlap_pairs(docs_reps, cfg).withColumn("source", F.lit("overlap")),
+            lambda: overlap_pairs(docs_reps, cfg,
+                                  persist_registry=ov_persists, fps=ov_fps)
+            .withColumn("source", F.lit("overlap")),
         )
+        _release(ov_persists)
         sources.append(ov_pairs)
 
     # union + dedup BEFORE the expensive verify (the one barrier worth paying;

@@ -366,10 +366,12 @@ class IncrementalDedup:
                 idx_texts = fresh_reps_docs.select(
                     "doc_id", "doc_text"
                 ).limit(0)
+            ov_persists: list = []
             ov_cands = overlap_candidates_probe(
                 idx_ofps, new_fps,
                 hot_cap=cfg.overlap_hot_cap,
                 min_shared_fps=cfg.overlap_min_shared_fps,
+                persist_registry=ov_persists,
             )
             texts_all = idx_texts.unionByName(
                 long_reps.select("doc_id", "doc_text")
@@ -380,6 +382,14 @@ class IncrementalDedup:
                 .select("id_a", "id_b")
                 .localCheckpoint(eager=True)
             )
+            # the gate set persisted inside the candidate probe is consumed
+            # by the materialization above — release it NOW, or a long
+            # stream accumulates one small persisted DF per micro-batch
+            for df in ov_persists:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
             cands = cands.unionByName(ov_pairs).distinct()
 
         all_sigs = idx_sigs.unionByName(sigs).localCheckpoint(eager=True)

@@ -34,6 +34,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Registry mirrors the reference's MODELS table (loader_comparison.py:12-34);
@@ -56,6 +57,10 @@ MODELS = {
         "dim": 1024,
         "passage_prefix": "",
         "query_prefix": "",
+        # the reference's _load_model passes trust_remote_code=True for this
+        # entry (loader_comparison.py): jina-v3 ships custom modeling code
+        # and fails to load without it (ADVICE r5 #1)
+        "trust_remote_code": True,
     },
 }
 
@@ -68,6 +73,8 @@ class EncoderConfig:
     query_prefix: str
     deterministic_fake: bool = False
     fake_dim: int | None = None  # override dim on the fake path (test-size)
+    trust_remote_code: bool = False  # jina-v3 needs it (reference _load_model)
+    device: str | None = None        # forwarded to SentenceTransformer when set
 
     @property
     def out_dim(self) -> int:
@@ -80,6 +87,7 @@ def get_encoder_config(
     model_name: str,
     deterministic_fake: bool = False,
     fake_dim: int | None = None,
+    device: str | None = None,
 ) -> EncoderConfig:
     if model_name not in MODELS:
         raise ValueError(
@@ -93,6 +101,8 @@ def get_encoder_config(
         query_prefix=cfg["query_prefix"],
         deterministic_fake=deterministic_fake,
         fake_dim=fake_dim,
+        trust_remote_code=cfg.get("trust_remote_code", False),
+        device=device,
     )
 
 
@@ -143,7 +153,16 @@ def _real_encode_batch(texts: list[str], cfg: EncoderConfig,
             "use deterministic_fake=True for the plumbing path"
         ) from e
     if "model" not in model_cache:  # one lazy load per worker process
-        model_cache["model"] = SentenceTransformer(MODELS[cfg.model_name]["name"])
+        kwargs = {}
+        if cfg.trust_remote_code:
+            # reference _load_model: jina-v3 ships custom modeling code and
+            # cannot load without trust_remote_code (ADVICE r5 #1)
+            kwargs["trust_remote_code"] = True
+        if cfg.device is not None:
+            kwargs["device"] = cfg.device
+        model_cache["model"] = SentenceTransformer(
+            MODELS[cfg.model_name]["name"], **kwargs
+        )
     emb = model_cache["model"].encode(texts, normalize_embeddings=True)
     return np.asarray(emb, dtype=np.float32)
 
@@ -180,14 +199,21 @@ def encode_dataframe(
             if fake:
                 vecs = _fake_encode_batch(texts, model_name, dim)
             else:
-                vecs = _real_encode_batch(texts, get_encoder_config(model_name), cache)
+                # the CAPTURED cfg, not a per-batch get_encoder_config
+                # re-derivation: re-deriving dropped every caller-side field
+                # except model_name (ADVICE r5 #3)
+                vecs = _real_encode_batch(texts, cfg, cache)
             yield pd.DataFrame({
                 id_col: pdf[id_col].values,
                 "model": model_name,
                 out_col: list(vecs),
             })
 
-    return df.select(id_col, text_col).mapInPandas(encode, schema=out_schema)
+    # null text would otherwise be stringified to the literal 'None' and get
+    # a plausible-looking embedding (ADVICE r5 #2); the reference loader
+    # filters/normalizes text upstream, so drop nulls here too
+    src = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    return src.mapInPandas(encode, schema=out_schema)
 
 
 def compare_models(

@@ -71,13 +71,18 @@ def verify_pairs_exact_jaccard(
     wide shingle arrays exist transiently for the pruned pair set (at 10^12
     docs the persistent signature table must not carry a corpus of shingles).
     """
-    if shingles_col in signatures.columns:
+    if "n_shingles" in signatures.columns:
+        # prefer the slim precomputed count: F.size(shingles) would make the
+        # size-prune joins read the WIDE shingle-array column for every doc
+        # (the dominant column of the signature table) just to measure it —
+        # the int column prunes the scan to doc_id + n_shingles (guide §2.3
+        # "project before the exchange" / §6 column pruning)
         sizes = signatures.select(
-            F.col("doc_id"), F.size(shingles_col).alias("n_sh")
+            F.col("doc_id"), F.col("n_shingles").alias("n_sh")
         )
     else:
         sizes = signatures.select(
-            F.col("doc_id"), F.col("n_shingles").alias("n_sh")
+            F.col("doc_id"), F.size(shingles_col).alias("n_sh")
         )
     p = (
         pairs.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"}), "id_a")

@@ -308,36 +308,46 @@ def run_dedup(
     star_edges = docs.filter(F.col("doc_id") != F.col("_root")).select(
         F.col("_root").alias("id_a"), F.col("doc_id").alias("id_b")
     )
-    signatures = stage("signatures", lambda: build_signatures(reps_docs, cfg))
-    sig_reps = signatures
     exact_pairs = star_edges.withColumn("source", F.lit("exact"))
+
     # each candidate tier is its own materialization, NOT one fused write:
     # fusing them into a single job looked cheaper on paper (one Catalyst
     # analysis, overlapping shuffles) but tripled the stage's wall on this
     # host — three tiers' shuffles live simultaneously and the working set
     # blows past the VM's fault-handler comfort zone. Separate stages also
     # keep per-tier resume + A5 reduction metrics trivially.
-    band_persists: list = []
-    mh_pairs_lazy, mh_hot = minhash_candidate_pairs(sig_reps, cfg, band_persists)
-    mh_pairs = stage(
-        "pairs_minhash", lambda: mh_pairs_lazy.withColumn("source", F.lit("minhash"))
-    )
-    sh_pairs_lazy, sh_hot = simhash_candidate_pairs(sig_reps, cfg, band_persists)
-    sh_pairs = stage(
-        "pairs_simhash", lambda: sh_pairs_lazy.withColumn("source", F.lit("simhash"))
-    )
-    # A5/ADVICE: dropped hot buckets are recorded, not silent — their own
-    # stage row (count + per-bucket sizes) in the metrics/checkpoint store.
-    # The per-bucket count tables were persisted while the pair stages
-    # evaluated (pairable_bands persist_registry), so this is a cheap
-    # filter, not a band-table re-scan. Only materialized when a store is
-    # recording.
-    if store is not None:
-        stage("hot_band_drops", lambda: mh_hot.unionByName(sh_hot))
-    # every band-tier persisted intermediate is now consumed
-    _release(band_persists)
-    sources = [exact_pairs, mh_pairs, sh_pairs]
-    if enable_overlap_stage:
+    def _minhash_chain():
+        """signatures -> minhash tiers -> simhash pass (one dependency
+        chain; returns everything the join/verify phase needs)."""
+        signatures = stage("signatures", lambda: build_signatures(reps_docs, cfg))
+        band_persists: list = []
+        mh_pairs_lazy, mh_hot = minhash_candidate_pairs(signatures, cfg,
+                                                        band_persists)
+        mh_pairs = stage(
+            "pairs_minhash",
+            lambda: mh_pairs_lazy.withColumn("source", F.lit("minhash")),
+        )
+        sh_pairs_lazy, sh_hot = simhash_candidate_pairs(signatures, cfg,
+                                                        band_persists)
+        sh_pairs = stage(
+            "pairs_simhash",
+            lambda: sh_pairs_lazy.withColumn("source", F.lit("simhash")),
+        )
+        # A5/ADVICE: dropped hot buckets are recorded, not silent — their own
+        # stage row (count + per-bucket sizes) in the metrics/checkpoint
+        # store. The per-bucket count tables were persisted while the pair
+        # stages evaluated (pairable_bands persist_registry), so this is a
+        # cheap filter, not a band-table re-scan. Only materialized when a
+        # store is recording.
+        if store is not None:
+            stage("hot_band_drops", lambda: mh_hot.unionByName(sh_hot))
+        # every band-tier persisted intermediate is now consumed
+        _release(band_persists)
+        return signatures, mh_pairs, sh_pairs
+
+    def _overlap_chain():
+        """overlap_fps -> pairs_overlap (independent of the signature
+        chain: both consume only the materialized docs stage)."""
         # narrow filter, not a semi-join: reps are tagged on the docs rows
         docs_reps = docs.filter(F.col("doc_id") == F.col("_root"))
         # the fp table is its own materialization: the candidate gate's
@@ -359,7 +369,37 @@ def run_dedup(
             .withColumn("source", F.lit("overlap")),
         )
         _release(ov_persists)
-        sources.append(ov_pairs)
+        return ov_pairs
+
+    # The two chains share no data dependency (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially). Running them
+    # from two driver threads lets each chain's tasks back-fill the idle
+    # capacity the other leaves behind — stage-tail stragglers, AQE/commit
+    # driver round-trips, the gate-count barriers — at BOTH parallelism
+    # levels (at local[1] the single core is idle during every driver
+    # round-trip too, so the lo level gains the same gap-fill). Stage
+    # outputs, and therefore every downstream result, are bit-identical:
+    # only the wall-clock interleaving changes. Set DEDUP_SEQUENTIAL_STAGES=1
+    # to fall back to the serial order (e.g. on memory-starved hosts; the
+    # A/B for this host is recorded in OPTIMIZATION_r06.md).
+    sequential = os.environ.get("DEDUP_SEQUENTIAL_STAGES", "") == "1"
+    if enable_overlap_stage and not sequential:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_mh = pool.submit(inheritable_thread_target(spark)(_minhash_chain))
+            fut_ov = pool.submit(inheritable_thread_target(spark)(_overlap_chain))
+            signatures, mh_pairs, sh_pairs = fut_mh.result()
+            ov_pairs = fut_ov.result()
+        sources = [exact_pairs, mh_pairs, sh_pairs, ov_pairs]
+    else:
+        signatures, mh_pairs, sh_pairs = _minhash_chain()
+        sources = [exact_pairs, mh_pairs, sh_pairs]
+        if enable_overlap_stage:
+            sources.append(_overlap_chain())
+    sig_reps = signatures
 
     # union + dedup BEFORE the expensive verify (the one barrier worth paying;
     # reference dedups candidates the same way, src/e2lsh.py:292-307).

@@ -270,10 +270,14 @@ def run_dedup(
             )
         ),
     )
-    if cfg.check_id_collisions:
+    def _check_id_collisions() -> None:
         # doc_id = xxhash64(conv_id): detect 64-bit collisions (distinct
         # conv_ids sharing a doc_id would corrupt signatures/clusters) —
-        # one aggregate over the already-materialized docs stage.
+        # one aggregate over the already-materialized docs stage. Runs as a
+        # third concurrent task next to the candidate chains (it reads only
+        # the docs checkpoint and gates nothing until its result is checked),
+        # so its ~full-pass barrier back-fills chain idle time instead of
+        # serializing in front of everything.
         n_coll = (
             docs.groupBy("doc_id")
             .agg(F.countDistinct("conv_id").alias("n"))
@@ -388,6 +392,13 @@ def run_dedup(
 
         from pyspark import inheritable_thread_target
 
+        # the id-collision check stays SERIAL in front of the chains: a
+        # third concurrent task was measured 153.6-159.4s vs 149.2-150.2s
+        # for check-first + two chains (its countDistinct aggregate competes
+        # with the two Arrow kernels for cores exactly when they saturate
+        # the machine, delaying both chains for no overlap gain)
+        if cfg.check_id_collisions:
+            _check_id_collisions()
         with ThreadPoolExecutor(max_workers=2) as pool:
             fut_mh = pool.submit(inheritable_thread_target(spark)(_minhash_chain))
             fut_ov = pool.submit(inheritable_thread_target(spark)(_overlap_chain))
@@ -395,6 +406,8 @@ def run_dedup(
             ov_pairs = fut_ov.result()
         sources = [exact_pairs, mh_pairs, sh_pairs, ov_pairs]
     else:
+        if cfg.check_id_collisions:
+            _check_id_collisions()
         signatures, mh_pairs, sh_pairs = _minhash_chain()
         sources = [exact_pairs, mh_pairs, sh_pairs]
         if enable_overlap_stage:
